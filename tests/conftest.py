@@ -1,0 +1,14 @@
+"""Test configuration: run everything on a virtual 8-device CPU platform.
+
+Multi-chip hardware is not available in CI; sharding tests use
+`--xla_force_host_platform_device_count=8` on the CPU backend, which exercises the
+same Mesh/shard_map/collective code paths the TPU pod would run. Must be set before
+jax initializes a backend, hence module scope here.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the CI env may preset the tpu platform
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
