@@ -12,3 +12,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # force: the CI env may preset the tpu plat
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The env var alone is NOT enough: the axon PJRT plugin (sitecustomize) registers the
+# TPU backend and takes priority over JAX_PLATFORMS from the environment. The config
+# update below is authoritative as long as it happens before the first backend use.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

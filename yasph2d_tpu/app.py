@@ -1,0 +1,205 @@
+"""Headless application harness: scene + frame loop + rendering + recording.
+
+TPU-native counterpart of the reference app (reference: src/main.rs). The ggez window
+becomes a headless frame producer: the same default dam-break scene, the same solver
+defaults (DFSPH with XSPH viscosity, cfl 1.5; WCSPH alternative with cfl 0.2), the
+same TimeManager frame-loop governor, the same camera framing, and the same recording
+mode (forced 1/60s frame deltas -> deterministic sim, PNG per frame). "Realtime" mode
+paces against the wall clock like the reference's windowed mode.
+
+Per-step processing-time history (len 80) mirrors the reference HUD statistics
+(main.rs:61, 277-290).
+"""
+
+import collections
+import enum
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .models.dfsph import DFSPHSolver
+from .models.viscosity import XSPHViscosityModel
+from .models.wcsph import WCSPHSolver
+from .render.camera import Camera
+from .render.renderer import ParticleRenderer, Recorder
+from .timemanager import (
+    AdaptiveTimeStep,
+    SimulationStepResult,
+    TimeManager,
+    TimerConfig,
+)
+from .world import FluidParticleWorld
+
+RECORDING_FPS = 60.0  # main.rs:62
+SIMULATION_STEP_HISTORY_LENGTH = 80  # main.rs:61
+
+
+class UpdateMode(enum.Enum):
+    REALTIME = enum.auto()
+    RECORDING = enum.auto()
+
+
+def reset_fluid(world: FluidParticleWorld):
+    """The reference's default scene (main.rs:177-196): dam-break into a tank with a
+    ramp, closed container."""
+    world.remove_all_fluid_particles()
+    world.remove_all_boundary_particles()
+
+    world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
+    world.add_boundary_thick_line((0.0, 2.5), (2.0, 2.5), 4)
+    world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 4)
+    world.add_boundary_thick_line((0.0, 0.0), (0.0, 2.5), 4)
+    world.add_boundary_thick_line((2.0, 0.0), (2.0, 2.5), 4)
+
+    world.add_boundary_thick_line((0.0, 0.6), (1.75, 0.5), 2)
+
+    # close off the container - stop gap for endlessly falling particles (main.rs:189-192)
+    world.add_boundary_thick_line((0.0, 2.5), (2.0, 2.5), 2)
+    world.add_boundary_thick_line((-2.0, -0.5), (4.0, -0.5), 4)
+
+
+def default_world(particle_density: float = 10000.0) -> FluidParticleWorld:
+    """Reference fluid constants (main.rs:85-89): smoothing factor 2, 10000
+    particles/m^2, rho0 = 100 kg/m^2."""
+    world = FluidParticleWorld(2.0, particle_density, 100.0)
+    reset_fluid(world)
+    return world
+
+
+class SimulationApp:
+    """Headless MainState (reference: main.rs:45-59, 301-401)."""
+
+    def __init__(
+        self,
+        solver: str = "dfsph",  # reference default (main.rs:91)
+        world: Optional[FluidParticleWorld] = None,
+        resolution=(1920, 1080),
+        update_mode: UpdateMode = UpdateMode.REALTIME,
+        recording_dir: str = "recording",
+    ):
+        self.world = world if world is not None else default_world()
+        h = self.world.properties.smoothing_length
+
+        cfl_factor = {"wcsph": 0.2, "dfsph": 1.5}[solver]  # main.rs:115-118
+        step_config = AdaptiveTimeStep(
+            timestep_max=1.0 / 120.0 / 3.0,  # main.rs:122
+            timestep_min=1.0 / 60.0 / 400.0,  # main.rs:123
+            cfl_factor=cfl_factor,
+            target_frame_length=(
+                1.0 / RECORDING_FPS if update_mode == UpdateMode.RECORDING else None
+            ),
+        )
+        viscosity = XSPHViscosityModel(smoothing_length=h)  # main.rs:93
+        if solver == "wcsph":
+            self.solver = WCSPHSolver(
+                viscosity_model=viscosity,
+                properties=self.world.properties,
+                grid=self.world.grid,
+                step_config=step_config,
+            )
+        elif solver == "dfsph":
+            self.solver = DFSPHSolver(
+                viscosity_model=viscosity,
+                properties=self.world.properties,
+                grid=self.world.grid,
+                step_config=step_config,
+            )
+        else:
+            raise ValueError(f"unknown solver {solver!r}")
+        self.solver_name = solver
+
+        self.time_manager = TimeManager(
+            TimerConfig(
+                step_config=step_config,
+                max_simulated_time_per_frame=1.0 / 30.0,  # main.rs:128
+            )
+        )
+        self.update_mode = update_mode
+
+        self.camera = Camera.center_around_world_rect(
+            (0.0, 0.0, float(resolution[0]), float(resolution[1])),
+            (-0.1, -0.1, 2.1, 1.6),  # main.rs:141
+        )
+        self.renderer = ParticleRenderer(
+            camera=self.camera,
+            particle_radius=self.world.properties.particle_radius,
+            resolution=resolution,
+        )
+        self.recorder = Recorder(recording_dir)
+
+        self.step_duration_history = collections.deque(
+            maxlen=SIMULATION_STEP_HISTORY_LENGTH
+        )
+        self.simulation_processing_time_total = 0.0
+        self.simulation_is_realtime = True
+        self.last_diagnostics = None
+
+        self._jitted_step = jax.jit(self.solver.step, donate_argnums=0)
+        self.boundary = self.world.boundary_grid()
+        self._init_carry()
+
+    def _init_carry(self):
+        state = self.world.initial_state()
+        if self.solver_name == "dfsph":
+            self.carry = self.solver.init_carry(state, self.boundary)
+        else:
+            self.carry = self.solver.init_carry(state)
+        self.carry = self.carry._replace(time=self.time_manager.time_state)
+
+    def reset_simulation(self):
+        """reference: main.rs:292-298."""
+        self.time_manager.restart()
+        self.simulation_processing_time_total = 0.0
+        self._init_carry()
+
+    # -------------------------------------------------------------- frame loop
+
+    def single_sim_step(self):
+        """reference: main.rs:277-290 (with step-duration history)."""
+        t0 = time.perf_counter()
+        self.carry = self.carry._replace(time=self.time_manager.time_state)
+        self.carry, self.last_diagnostics = self._jitted_step(self.carry, self.boundary)
+        self.time_manager.time_state = self.carry.time
+        jax.block_until_ready(self.carry.particles.positions)
+        dt_wall = time.perf_counter() - t0
+        self.step_duration_history.append(dt_wall)
+        self.simulation_processing_time_total += dt_wall
+
+    def update(self):
+        """One frame's worth of simulation steps (reference: main.rs:339-364)."""
+        if self.update_mode == UpdateMode.RECORDING:
+            self.time_manager.force_frame_delta(1.0 / RECORDING_FPS)
+        while True:
+            result = self.time_manager.simulation_frame_loop()
+            if result == SimulationStepResult.PERFORM_STEP_AND_CALL_AGAIN:
+                self.single_sim_step()
+            elif result == SimulationStepResult.CAUGHT_UP_WITH_RENDER_TIME:
+                self.simulation_is_realtime = True
+                break
+            else:  # DROPPING_SIMULATION_STEPS
+                self.simulation_is_realtime = False
+                break
+
+    def draw(self) -> np.ndarray:
+        """Read back particle state and rasterize one frame
+        (reference: main.rs:366-400)."""
+        particles = self.carry.particles
+        image = self.renderer.render(
+            positions=np.asarray(particles.positions),
+            velocities=np.asarray(particles.velocities),
+            boundary_positions=np.asarray(self.boundary.positions),
+        )
+        if self.update_mode == UpdateMode.RECORDING:
+            self.recorder.save_frame(self.time_manager.num_frames_rendered, image)
+        self.time_manager.on_frame_presented(1.0)
+        return image
+
+    def run(self, num_frames: int):
+        """Produce num_frames frames (the reference's event loop, headless)."""
+        frames = []
+        for _ in range(num_frames):
+            self.update()
+            frames.append(self.draw())
+        return frames

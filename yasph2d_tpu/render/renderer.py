@@ -1,0 +1,144 @@
+"""Headless particle renderer + PNG recording.
+
+Replaces the reference's ggez/wgpu realtime renderer (reference: src/main.rs:239-275,
+draw_fluid) with a headless rasterizer: device -> host readback of positions and
+velocities once per rendered frame (matching the reference's one-way CPU->GPU flow),
+vectorized disk stamping into an RGB buffer, and PNG recording mode writing
+`recording/{frame}.png` (reference: main.rs:380-397).
+
+Colors match the reference: background (0.4, 0.4, 0.45), boundary particles dark grey
+(0.2), fluid colored by the velocity heatmap `heatmap_color(|v| * 0.1)`
+(main.rs:74-81, 255).
+"""
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .camera import Camera
+
+BACKGROUND_COLOR = (0.4, 0.4, 0.45)  # main.rs:371
+BOUNDARY_COLOR = (0.2, 0.2, 0.2)  # main.rs:155-160
+
+
+def heatmap_color(t: np.ndarray) -> np.ndarray:
+    """Blue-free heatmap ramp (reference: main.rs:74-81): r,g,b ramp in thirds of t.
+
+    t: (...,) -> (..., 3) float in [0, 1].
+    """
+    t = np.asarray(t, dtype=np.float32)
+    return np.stack(
+        [
+            np.clip(t * 3.0, 0.0, 1.0),
+            np.clip(t * 3.0 - 1.0, 0.0, 1.0),
+            np.clip(t * 3.0 - 2.0, 0.0, 1.0),
+        ],
+        axis=-1,
+    )
+
+
+def _disk_offsets(radius_px: float) -> np.ndarray:
+    """Integer pixel offsets covering a filled disk of the given pixel radius."""
+    r = max(int(np.ceil(radius_px)), 0)
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
+    inside = ys * ys + xs * xs <= max(radius_px * radius_px, 0.25)
+    return np.stack([ys[inside], xs[inside]], axis=-1)  # (P, 2)
+
+
+def _stamp(image: np.ndarray, centers_px: np.ndarray, colors: np.ndarray, offsets: np.ndarray):
+    """Paint filled disks: centers (N, 2) in (x, y) pixels, colors (N, 3) or (3,)."""
+    if centers_px.shape[0] == 0:
+        return
+    h, w, _ = image.shape
+    cx = np.round(centers_px[:, 0]).astype(np.int64)
+    cy = np.round(centers_px[:, 1]).astype(np.int64)
+    colors = np.broadcast_to(colors, (centers_px.shape[0], 3))
+    for dy, dx in offsets:
+        x = np.clip(cx + dx, 0, w - 1)
+        y = np.clip(cy + dy, 0, h - 1)
+        image[y, x] = colors
+
+
+@dataclass
+class ParticleRenderer:
+    """Rasterizes one frame of the particle world."""
+
+    camera: Camera
+    particle_radius: float  # world units (reference draws circles of particle_radius)
+    resolution: Tuple[int, int] = (1920, 1080)  # reference window size (main.rs:22)
+
+    def __post_init__(self):
+        radius_px = self.particle_radius * self.camera.pixel_per_world_unit
+        self._offsets = _disk_offsets(radius_px)
+
+    def render(
+        self,
+        positions: np.ndarray,
+        velocities: Optional[np.ndarray] = None,
+        boundary_positions: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Returns an (H, W, 3) uint8 frame."""
+        w, h = self.resolution
+        image = np.empty((h, w, 3), dtype=np.float32)
+        image[:] = BACKGROUND_COLOR
+
+        if boundary_positions is not None and len(boundary_positions):
+            centers = self.camera.world_to_screen_coords(np.asarray(boundary_positions))
+            _stamp(image, centers, np.asarray(BOUNDARY_COLOR, dtype=np.float32), self._offsets)
+
+        positions = np.asarray(positions)
+        if len(positions):
+            if velocities is None:
+                speed = np.zeros(positions.shape[0], dtype=np.float32)
+            else:
+                velocities = np.asarray(velocities)
+                speed = np.sqrt((velocities * velocities).sum(-1))
+            colors = heatmap_color(speed * 0.1)  # main.rs:255
+            centers = self.camera.world_to_screen_coords(positions)
+            _stamp(image, centers, colors, self._offsets)
+
+        return (image * 255.0 + 0.5).astype(np.uint8)
+
+
+def write_png(path: str, image: np.ndarray):
+    """PNG writer (PIL if available, else a minimal stdlib encoder)."""
+    try:
+        from PIL import Image
+
+        Image.fromarray(image).save(path)
+    except ImportError:  # pragma: no cover - PIL is baked into the image
+        import struct
+        import zlib
+
+        h, w, _ = image.shape
+        raw = b"".join(b"\x00" + image[row].tobytes() for row in range(h))
+
+        def chunk(tag, data):
+            payload = tag + data
+            return (
+                struct.pack(">I", len(data))
+                + payload
+                + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+            )
+
+        with open(path, "wb") as f:
+            f.write(b"\x89PNG\r\n\x1a\n")
+            f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+            f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+            f.write(chunk(b"IEND", b""))
+
+
+class Recorder:
+    """PNG-sequence recording mode (reference: main.rs:380-397): frame n goes to
+    `<directory>/<n>.png`."""
+
+    def __init__(self, directory: str = "recording"):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def save_frame(self, frame_index: int, image: np.ndarray) -> str:
+        path = os.path.join(self.directory, f"{frame_index}.png")
+        write_png(path, image)
+        return path
