@@ -18,6 +18,10 @@ import time
 import jax
 import numpy as np
 
+from yasph2d_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
@@ -73,7 +77,7 @@ def main():
 
     t0 = time.perf_counter()
     carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
-    jax.block_until_ready(carry)
+    _ = float(carry.particles.densities[0])
     _log(f"init_carry: {time.perf_counter() - t0:.1f}s")
     n = int(carry.particles.positions.shape[0])
 
@@ -83,14 +87,16 @@ def main():
     simulate = jax.jit(solver.simulate, static_argnums=2)
     t0 = time.perf_counter()
     carry, _ = simulate(carry, boundary, chunk)
-    jax.block_until_ready(carry)
+    _ = float(carry.time.total_simulated_time)
     _log(f"compile + first {chunk} steps: {time.perf_counter() - t0:.1f}s")
 
     num_chunks = max(1, num_steps // chunk)
     t0 = time.perf_counter()
     for _ in range(num_chunks):
         carry, diag = simulate(carry, boundary, chunk)
-    jax.block_until_ready(carry)
+    # block_until_ready does not reliably block on the experimental remote platform;
+    # a host transfer of a scalar from the final carry forces full completion.
+    _ = float(carry.time.total_simulated_time)
     elapsed = time.perf_counter() - t0
     num_steps = num_chunks * chunk
     _log(f"{num_steps} steps in {elapsed:.2f}s "

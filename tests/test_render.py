@@ -59,7 +59,9 @@ def test_app_recording_end_to_end(tmp_path):
     disk, stable sim (reference: recording mode main.rs:344-346, 380-397)."""
     from yasph2d_tpu.app import SimulationApp, UpdateMode, default_world
 
-    world = default_world(particle_density=400.0)  # small for test speed
+    # density >= 1600 keeps the reference scene geometry valid: wall thickness
+    # 4/npm must stay <= 0.1 or the walls overlap the fluid rect at x=0.1
+    world = default_world(particle_density=1600.0)
     app = SimulationApp(
         solver="dfsph",
         world=world,
@@ -83,7 +85,7 @@ def test_app_recording_end_to_end(tmp_path):
 def test_app_reset():
     from yasph2d_tpu.app import SimulationApp, UpdateMode, default_world
 
-    world = default_world(particle_density=400.0)
+    world = default_world(particle_density=1600.0)
     app = SimulationApp(solver="wcsph", world=world, resolution=(64, 64),
                         update_mode=UpdateMode.RECORDING, recording_dir="/tmp/_r")
     app.update()
@@ -91,3 +93,44 @@ def test_app_reset():
     app.reset_simulation()
     assert app.time_manager.num_simulation_steps == 0
     assert float(app.carry.time.total_simulated_time) == 0.0
+
+
+def test_native_matches_numpy_renderer():
+    """The C++ rasterizer and the numpy fallback draw (near-)identical frames; exact
+    pixel-center rounding may differ on .5 boundaries, so allow a tiny mismatch."""
+    from yasph2d_tpu.native import load_render
+
+    if load_render() is None:
+        pytest.skip("native render library unavailable")
+
+    rng = np.random.default_rng(3)
+    positions = rng.random((500, 2)).astype(np.float32)
+    velocities = (rng.random((500, 2)).astype(np.float32) - 0.5) * 10.0
+    boundary = rng.random((200, 2)).astype(np.float32) * 0.2
+
+    camera = Camera.center_around_world_rect((0, 0, 200, 150), (0.0, 0.0, 1.0, 1.0))
+    kw = dict(camera=camera, particle_radius=0.01, resolution=(200, 150))
+    native = ParticleRenderer(use_native=True, **kw)
+    fallback = ParticleRenderer(use_native=False, **kw)
+    assert native._native is not None
+
+    a = native.render(positions, velocities, boundary)
+    b = fallback.render(positions, velocities, boundary)
+    mismatched = (a != b).any(axis=-1).mean()
+    assert mismatched < 0.01, f"{mismatched:.4%} of pixels differ"
+
+
+def test_native_png_roundtrip(tmp_path):
+    from yasph2d_tpu.native import load_render
+
+    lib = load_render()
+    if lib is None:
+        pytest.skip("native render library unavailable")
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (33, 57, 3), dtype=np.uint8)
+    path = str(tmp_path / "native.png")
+    assert lib.yasph_write_png(path.encode(), np.ascontiguousarray(img).ctypes.data, 57, 33) == 0
+    from PIL import Image
+
+    loaded = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(loaded, img)

@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from ..native import load_render
 from .camera import Camera
 
 BACKGROUND_COLOR = (0.4, 0.4, 0.45)  # main.rs:371
@@ -63,15 +64,53 @@ def _stamp(image: np.ndarray, centers_px: np.ndarray, colors: np.ndarray, offset
 
 @dataclass
 class ParticleRenderer:
-    """Rasterizes one frame of the particle world."""
+    """Rasterizes one frame of the particle world.
+
+    Uses the native C++ rasterizer (yasph2d_tpu/native/render.cpp) when it builds,
+    mirroring the reference's native draw path; falls back to vectorized numpy.
+    """
 
     camera: Camera
     particle_radius: float  # world units (reference draws circles of particle_radius)
     resolution: Tuple[int, int] = (1920, 1080)  # reference window size (main.rs:22)
+    use_native: bool = True
 
     def __post_init__(self):
         radius_px = self.particle_radius * self.camera.pixel_per_world_unit
+        self._radius_px = radius_px
         self._offsets = _disk_offsets(radius_px)
+        self._native = load_render() if self.use_native else None
+
+    def _render_native(self, positions, velocities, boundary_positions) -> np.ndarray:
+        w, h = self.resolution
+        sx, sy, sw, sh = self.camera.screen
+        ppwu = self.camera.pixel_per_world_unit
+        px, py = self.camera.position
+        offset_x = sx + sw * 0.5 - px * ppwu
+        offset_y = sy + sh * 0.5 + py * ppwu
+
+        pos = np.ascontiguousarray(positions, dtype=np.float32)
+        vel = (
+            np.ascontiguousarray(velocities, dtype=np.float32)
+            if velocities is not None
+            else None
+        )
+        bnd = (
+            np.ascontiguousarray(boundary_positions, dtype=np.float32)
+            if boundary_positions is not None and len(boundary_positions)
+            else None
+        )
+        image = np.empty((h, w, 3), dtype=np.uint8)
+        self._native.yasph_rasterize(
+            pos.ctypes.data, vel.ctypes.data if vel is not None else None,
+            pos.shape[0],
+            bnd.ctypes.data if bnd is not None else None,
+            bnd.shape[0] if bnd is not None else 0,
+            image.ctypes.data, w, h,
+            offset_x, offset_y, ppwu, self._radius_px,
+            *BACKGROUND_COLOR,
+        )
+        return image
 
     def render(
         self,
@@ -80,6 +119,12 @@ class ParticleRenderer:
         boundary_positions: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Returns an (H, W, 3) uint8 frame."""
+        if self._native is not None:
+            return self._render_native(
+                np.asarray(positions),
+                None if velocities is None else np.asarray(velocities),
+                boundary_positions,
+            )
         w, h = self.resolution
         image = np.empty((h, w, 3), dtype=np.float32)
         image[:] = BACKGROUND_COLOR
@@ -103,7 +148,14 @@ class ParticleRenderer:
 
 
 def write_png(path: str, image: np.ndarray):
-    """PNG writer (PIL if available, else a minimal stdlib encoder)."""
+    """PNG writer: native C++ encoder when available, else PIL, else stdlib."""
+    lib = load_render()
+    if lib is not None:
+        img = np.ascontiguousarray(image, dtype=np.uint8)
+        h, w, _ = img.shape
+        rc = lib.yasph_write_png(path.encode(), img.ctypes.data, w, h)
+        if rc == 0:
+            return
     try:
         from PIL import Image
 
