@@ -59,19 +59,31 @@ def double_dam_break(target_particles: int) -> FluidParticleWorld:
 def main():
     target = int(os.environ.get("YASPH_BENCH_PARTICLES", 100_000))
     num_steps = int(os.environ.get("YASPH_BENCH_STEPS", 100))
+    backend = os.environ.get("YASPH_BENCH_BACKEND", "dense")  # dense | table
 
     world = double_dam_break(target)
-    solver = DFSPHSolver(
-        viscosity_model=XSPHViscosityModel(
-            smoothing_length=world.properties.smoothing_length
-        ),
-        properties=world.properties,
-        grid=world.grid,
-        step_config=AdaptiveTimeStep(
-            timestep_max=1.0 / 360.0, timestep_min=1.0 / 24000.0, cfl_factor=1.5
-        ),
+    step_config = AdaptiveTimeStep(
+        timestep_max=1.0 / 360.0, timestep_min=1.0 / 24000.0, cfl_factor=1.5
     )
-    boundary = world.boundary_grid()
+    viscosity = XSPHViscosityModel(
+        smoothing_length=world.properties.smoothing_length
+    )
+    if backend == "dense":
+        from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
+
+        grid = world.dense_grid(occupancy=12)
+        solver = DFSPHDenseSolver(
+            viscosity_model=viscosity, properties=world.properties,
+            grid=grid, step_config=step_config,
+        )
+        boundary = world.boundary_dense(grid)
+        _log(f"dense grid: {grid.nx}x{grid.ny} cells, occupancy {grid.occupancy}")
+    else:
+        solver = DFSPHSolver(
+            viscosity_model=viscosity, properties=world.properties,
+            grid=world.grid, step_config=step_config,
+        )
+        boundary = world.boundary_grid()
     _log(f"scene: {world.num_dynamic_particles} fluid / "
          f"{world.num_boundary_particles} boundary particles")
 
@@ -107,7 +119,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"DFSPH particle-steps/sec ({n} particles, double dam-break)",
+                "metric": (
+                    f"DFSPH particle-steps/sec ({n} particles, double dam-break, "
+                    f"{backend} backend)"
+                ),
                 "value": value,
                 "unit": "particle-steps/sec",
                 "vs_baseline": value / NORTH_STAR_PARTICLE_STEPS_PER_SEC,

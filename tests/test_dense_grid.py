@@ -1,0 +1,135 @@
+"""Dense padded cell grid: slot layout invariants + pair reductions vs brute force."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yasph2d_tpu.ops.dense_grid import (
+    DenseGridConfig,
+    build_slot_grid,
+    cell_keys,
+    pad_to_slots,
+    pair_reduce,
+    slots_to_sorted,
+    MIN_DISTANCE_SQ,
+)
+from yasph2d_tpu.ops.smoothing_kernels import WendlandQuinticC2
+
+
+def make_sorted(n, grid, seed=0, spread=None):
+    rng = np.random.default_rng(seed)
+    extent = np.asarray([grid.nx, grid.ny]) * grid.cell_size
+    spread = spread if spread is not None else extent
+    pos = np.asarray(grid.origin) + rng.random((n, 2)) * spread
+    pos = jnp.asarray(pos.astype(np.float32))
+    keys = cell_keys(pos, grid)
+    order = jnp.argsort(keys)
+    return pos[order], keys[order]
+
+
+def test_slot_grid_roundtrip_and_masks():
+    grid = DenseGridConfig(cell_size=0.25, origin=(0.0, 0.0), nx=8, ny=6, occupancy=16)
+    pos, keys = make_sorted(300, grid, seed=1)
+    slots = build_slot_grid(keys, grid)
+
+    assert int(slots.num_dropped) == 0
+    assert int(slots.slot_mask.sum()) == 300
+    assert bool(slots.in_grid.all())
+
+    # padded -> sorted round trip recovers every particle
+    padded = pad_to_slots(pos, slots, grid)
+    assert padded.shape == (6, 8, 16, 2)
+    back = slots_to_sorted(padded, slots, grid)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(pos))
+
+    # each live slot holds a particle whose key matches its cell
+    mask = np.asarray(slots.slot_mask)
+    idx = np.asarray(slots.slot_idx)
+    k = np.asarray(keys)
+    for c in range(grid.num_cells):
+        for p in range(grid.occupancy):
+            if mask[c, p]:
+                assert k[idx[c, p]] == c
+
+
+def test_slot_overflow_counted():
+    grid = DenseGridConfig(cell_size=1.0, origin=(0.0, 0.0), nx=2, ny=2, occupancy=4)
+    # 7 particles in one cell -> 3 dropped
+    pos = jnp.asarray(np.full((7, 2), 0.5, dtype=np.float32) + np.arange(7)[:, None] * 1e-3)
+    keys = cell_keys(pos, grid)
+    slots = build_slot_grid(keys, grid)
+    assert int(slots.num_dropped) == 3
+    assert int(slots.slot_mask.sum()) == 4
+    assert int(slots.in_grid.sum()) == 4
+
+
+def brute_force_density(pos, h, mass, kernel):
+    pos = np.asarray(pos, dtype=np.float32)
+    n = pos.shape[0]
+    diff = pos[None, :, :] - pos[:, None, :]
+    r_sq = (diff * diff).sum(-1)
+    r = np.sqrt(r_sq)
+    w = np.array(kernel.evaluate(jnp.asarray(r_sq), jnp.asarray(r)))
+    w[(r_sq <= MIN_DISTANCE_SQ)] = 0.0  # self/degenerate excluded from pair sum
+    self_w = float(kernel.evaluate(jnp.zeros(()), jnp.zeros(())))
+    return mass * (w.sum(1) + self_w)
+
+
+def test_dense_density_matches_brute_force():
+    h = 0.3
+    grid = DenseGridConfig(cell_size=h, origin=(-0.1, -0.2), nx=7, ny=5, occupancy=24)
+    pos, keys = make_sorted(400, grid, seed=2)
+    slots = build_slot_grid(keys, grid)
+    kernel = WendlandQuinticC2(h)
+    mass = 0.37
+
+    padded = pad_to_slots(pos, slots, grid)
+    mask = slots.slot_mask.reshape(grid.ny, grid.nx, grid.occupancy)
+
+    def w_fn(ri_to_rj, r_sq, r):
+        return kernel.evaluate(r_sq, r)
+
+    dens_padded = pair_reduce(w_fn, padded, mask, padded, mask, grid)
+    dens = np.asarray(slots_to_sorted(dens_padded, slots, grid)) * mass
+    dens = dens + mass * float(kernel.evaluate(jnp.zeros(()), jnp.zeros(())))
+
+    expected = brute_force_density(pos, h, mass, kernel)
+    np.testing.assert_allclose(dens, expected, rtol=2e-5, atol=2e-4)
+
+
+def test_dense_pair_reduce_with_values_matches_brute_force():
+    """Vector reduction with candidate values: sum_j (v_i - v_j) . grad W_ij."""
+    h = 0.25
+    grid = DenseGridConfig(cell_size=h, origin=(0.0, 0.0), nx=6, ny=6, occupancy=24)
+    pos, keys = make_sorted(300, grid, seed=3)
+    slots = build_slot_grid(keys, grid)
+    kernel = WendlandQuinticC2(h)
+
+    rng = np.random.default_rng(4)
+    vel = jnp.asarray(rng.standard_normal((300, 2)).astype(np.float32))
+
+    padded_pos = pad_to_slots(pos, slots, grid)
+    padded_vel = pad_to_slots(vel, slots, grid)
+    mask = slots.slot_mask.reshape(grid.ny, grid.nx, grid.occupancy)
+
+    def div_fn(ri_to_rj, r_sq, r, v_j):
+        grad = kernel.gradient(ri_to_rj, r_sq, r)
+        dv = padded_vel[:, :, :, None, :] - v_j
+        return jnp.sum(dv * grad, axis=-1)
+
+    out_padded = pair_reduce(
+        div_fn, padded_pos, mask, padded_pos, mask, grid, source_values=(padded_vel,)
+    )
+    out = np.asarray(slots_to_sorted(out_padded, slots, grid))
+
+    # brute force
+    p = np.asarray(pos)
+    v = np.asarray(vel)
+    diff = p[None, :, :] - p[:, None, :]
+    r_sq = (diff * diff).sum(-1)
+    r = np.sqrt(r_sq)
+    grad = np.asarray(kernel.gradient(jnp.asarray(diff), jnp.asarray(r_sq), jnp.asarray(r)))
+    live = (r_sq > MIN_DISTANCE_SQ) & (r_sq <= h * h)
+    dv = v[:, None, :] - v[None, :, :]
+    expected = np.where(live, (dv * grad).sum(-1), 0.0).sum(1)
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,102 @@
+"""Dense-layout DFSPH solver: cross-validation against the faithful table solver.
+
+The two implementations share the algorithm but differ in data layout and summation
+order; trajectories agree to float32 tolerance over short horizons and in aggregate
+statistics over longer ones.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from yasph2d_tpu.models.dfsph import DFSPHSolver
+from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
+from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+from yasph2d_tpu.timemanager import AdaptiveTimeStep, FixedTimeStep
+
+from test_wcsph import small_dam_break
+
+
+def make_pair(world, step_config):
+    h = world.properties.smoothing_length
+    table = DFSPHSolver(
+        viscosity_model=XSPHViscosityModel(smoothing_length=h),
+        properties=world.properties,
+        grid=world.grid,
+        step_config=step_config,
+    )
+    dense_grid = world.dense_grid(occupancy=12)
+    dense = DFSPHDenseSolver(
+        viscosity_model=XSPHViscosityModel(smoothing_length=h),
+        properties=world.properties,
+        grid=dense_grid,
+        step_config=step_config,
+    )
+    return table, dense, dense_grid
+
+
+def sorted_rows(a):
+    a = np.asarray(a)
+    return a[np.lexsort(a.T)]
+
+
+def test_dense_matches_table_short_horizon():
+    world = small_dam_break(particle_density=1600.0)
+    table, dense, dense_grid = make_pair(world, FixedTimeStep(1.0 / 3000.0))
+
+    tc = table.init_carry(world.initial_state(), world.boundary_grid())
+    dc = dense.init_carry(world.initial_state(), world.boundary_dense(dense_grid))
+
+    # identical initial densities and alpha (same math, different layout/order)
+    np.testing.assert_allclose(
+        sorted_rows(tc.particles.positions), sorted_rows(dc.particles.positions),
+        rtol=0, atol=0,
+    )
+    ti = np.argsort(np.asarray(tc.particles.positions)[:, 0] * 1e3
+                    + np.asarray(tc.particles.positions)[:, 1])
+    di = np.argsort(np.asarray(dc.particles.positions)[:, 0] * 1e3
+                    + np.asarray(dc.particles.positions)[:, 1])
+    np.testing.assert_allclose(
+        np.asarray(tc.particles.densities)[ti], np.asarray(dc.particles.densities)[di],
+        rtol=1e-5, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tc.alpha)[ti], np.asarray(dc.alpha)[di], rtol=1e-3, atol=1e-9
+    )
+
+    # 10 fixed steps: trajectories still within float drift of each other
+    tc, tdiag = jax.jit(table.simulate, static_argnums=2)(tc, world.boundary_grid(), 10)
+    dc, ddiag = jax.jit(dense.simulate, static_argnums=2)(
+        dc, world.boundary_dense(dense_grid), 10
+    )
+    assert int(tdiag.neighbor_drops) == 0 and int(ddiag.neighbor_drops) == 0
+    tp, dp = sorted_rows(tc.particles.positions), sorted_rows(dc.particles.positions)
+    np.testing.assert_allclose(tp, dp, rtol=0, atol=5e-4)
+    assert int(tdiag.density_iterations) == int(ddiag.density_iterations)
+    assert int(tdiag.divergence_iterations) == int(ddiag.divergence_iterations)
+
+
+def test_dense_long_run_stable_and_incompressible():
+    world = small_dam_break(particle_density=1600.0)
+    _, dense, dense_grid = make_pair(
+        world, AdaptiveTimeStep(1 / 360, 1 / 24000, cfl_factor=1.5)
+    )
+    bd = world.boundary_dense(dense_grid)
+    dc = dense.init_carry(world.initial_state(), bd)
+    dc, diag = jax.jit(dense.simulate, static_argnums=2)(dc, bd, 200)
+
+    pos = np.asarray(dc.particles.positions)
+    rho = np.asarray(dc.particles.densities)
+    assert np.isfinite(pos).all()
+    assert rho.min() >= 100.0 and rho.max() < 110.0
+    assert pos[:, 0].min() > -0.3 and pos[:, 0].max() < 2.3
+    assert int(diag.neighbor_drops) == 0
+    assert pos[:, 1].min() < 0.65  # dam collapsed
+
+
+def test_dense_grid_covers_scene():
+    world = small_dam_break(particle_density=1600.0)
+    g = world.dense_grid()
+    assert g.contains((0.0, 0.0, 2.0, 2.5))
+    h = world.properties.smoothing_length
+    assert abs(g.cell_size - h) < 1e-9

@@ -1,0 +1,412 @@
+"""DFSPH on the dense padded cell grid — the TPU fast path.
+
+Same algorithm as models/dfsph.py (Bender & Koschier, reference: src/sph/solver/
+dfsph.rs — see that module for the step-by-step reference mapping), different data
+layout: every pair interaction runs in the dense (ny, nx, P) slot layout of
+ops/dense_grid.py, where a 3x3 cell neighborhood is NINE STATIC SLICES instead of a
+gather through neighbor-index tables. The pressure loops carry their state in padded
+layout, so a loop iteration is pure fused VPU arithmetic — no gather, no scatter, no
+searchsorted anywhere in the iterated hot path.
+
+Layout discipline:
+- carry state lives in SORTED particle order ((N,) arrays, cell-sorted each step,
+  identity-unstable across steps exactly like the reference and the table solver);
+- a per-step `DenseCtx` freezes the padded geometry (built once per neighborhood
+  rebuild); sorted <-> padded conversions are two cheap (N,)-gathers at loop
+  boundaries only;
+- residual means divide by the live particle count (reference averages over
+  particles: dfsph.rs:221, 376-377).
+
+Validated by cross-checking against the faithful table solver (tests/test_dfsph_dense.py).
+"""
+
+import dataclasses
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..units import REAL
+from ..ops.dense_grid import (
+    DenseGridConfig,
+    SlotGrid,
+    build_slot_grid,
+    cell_keys,
+    pad_to_slots,
+    pair_reduce,
+    slots_to_sorted,
+)
+from ..ops.smoothing_kernels import WendlandQuinticC2
+from ..timemanager import StepConfig, TimeState, update_simulation_step
+from ..utils.diagnostics import Diagnostics
+from ..world import GRAVITY, FluidProperties, ParticleState
+from .viscosity import ViscosityModel
+
+ALPHA_EPSILON = 1e-6  # dfsph.rs:71
+
+
+class BoundaryDense(NamedTuple):
+    """Static (boundary) index space in dense layout; built on boundary change."""
+
+    pos_pad: jax.Array  # (ny, nx, Pb, 2)
+    mask: jax.Array  # (ny, nx, Pb) bool
+    num_dropped: jax.Array  # () int32
+
+
+def build_boundary_dense(
+    boundary_positions: jax.Array, grid: DenseGridConfig, occupancy: int
+) -> BoundaryDense:
+    bgrid = dataclasses.replace(grid, occupancy=occupancy)
+    keys = cell_keys(boundary_positions, bgrid)
+    order = jnp.argsort(keys)
+    sorted_pos = boundary_positions[order]
+    slots = build_slot_grid(keys[order], bgrid)
+    return BoundaryDense(
+        pos_pad=pad_to_slots(sorted_pos, slots, bgrid),
+        mask=slots.slot_mask.reshape(bgrid.ny, bgrid.nx, occupancy),
+        num_dropped=slots.num_dropped,
+    )
+
+
+class DenseCtx(NamedTuple):
+    """Per-rebuild pair context: everything that is invariant while positions are
+    frozen (the table solver's _PairCache analog, plus the layout itself)."""
+
+    slots: SlotGrid
+    pos_pad: jax.Array  # (ny, nx, P, 2)
+    mask: jax.Array  # (ny, nx, P) bool
+    sum_grad_stat: jax.Array  # (ny, nx, P, 2): sum of grad W to boundary neighbors
+    neighbor_total: jax.Array  # (ny, nx, P) f32: dyn+static neighbor counts
+    num_dropped: jax.Array  # () int32
+
+
+class DFSPHDenseCarry(NamedTuple):
+    particles: ParticleState  # sorted layout
+    alpha: jax.Array  # (N,) sorted
+    warmstart_kappa: jax.Array  # (N,)
+    warmstart_stiffness: jax.Array  # (N,)
+    ctx: DenseCtx
+    prev_density_iterations: jax.Array  # () int32
+    prev_divergence_iterations: jax.Array  # () int32
+    time: TimeState
+
+
+@dataclass(frozen=True)
+class DFSPHDenseSolver:
+    """Configuration + pure jittable step (tolerances as dfsph.rs:49-55)."""
+
+    viscosity_model: ViscosityModel
+    properties: FluidProperties
+    grid: DenseGridConfig
+    step_config: StepConfig
+    boundary_occupancy: int = 16
+    max_avg_density_error: float = 0.01 / 100.0
+    max_density_iterations: int = 200
+    max_divergence_error: float = 0.1 / 100.0
+    max_divergence_iterations: int = 400
+    gravity: tuple = GRAVITY
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "kernel", WendlandQuinticC2(self.properties.smoothing_length)
+        )
+        assert abs(self.grid.cell_size - self.properties.smoothing_length) < 1e-12
+
+    # ------------------------------------------------------------------ layout
+
+    def _sort(self, pytree, positions):
+        keys = cell_keys(positions, self.grid)
+        n = positions.shape[0]
+        sorted_keys, perm = jax.lax.sort(
+            (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        return jax.tree_util.tree_map(lambda a: a[perm], pytree), sorted_keys
+
+    def _ctx(self, sorted_positions, sorted_keys, boundary: BoundaryDense) -> DenseCtx:
+        g = self.grid
+        slots = build_slot_grid(sorted_keys, g)
+        pos_pad = pad_to_slots(sorted_positions, slots, g)
+        mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
+
+        def grad_and_one(ri_to_rj, r_sq, r):
+            return {
+                "grad": self.kernel.gradient(ri_to_rj, r_sq, r),
+                "count": jnp.ones_like(r_sq),
+            }
+
+        stat = pair_reduce(grad_and_one, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
+        dyn_count = pair_reduce(
+            lambda ri, r_sq, r: jnp.ones_like(r_sq), pos_pad, mask, pos_pad, mask, g
+        )
+        return DenseCtx(
+            slots=slots,
+            pos_pad=pos_pad,
+            mask=mask,
+            sum_grad_stat=stat["grad"],
+            neighbor_total=dyn_count + stat["count"],
+            num_dropped=slots.num_dropped + boundary.num_dropped,
+        )
+
+    # --------------------------------------------------------------- pair ops
+
+    def _density(self, ctx: DenseCtx, boundary: BoundaryDense) -> jax.Array:
+        """rho_i = m (W(0) + sum_dyn W + sum_stat W), clamped >= rho0
+        (fluidparticleworld.rs:197-231)."""
+        g = self.grid
+        m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
+        w = lambda ri, r_sq, r: self.kernel.evaluate(r_sq, r)
+        dyn = pair_reduce(w, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g)
+        stat = pair_reduce(w, ctx.pos_pad, ctx.mask, boundary.pos_pad, boundary.mask, g)
+        zero = jnp.zeros((), dtype=REAL)
+        dens_pad = m * (self.kernel.evaluate(zero, zero) + dyn + stat)
+        dens = slots_to_sorted(dens_pad, ctx.slots, g)
+        return jnp.maximum(dens, jnp.asarray(self.properties.fluid_density, REAL))
+
+    def _alpha(self, ctx: DenseCtx, boundary: BoundaryDense) -> jax.Array:
+        """alpha = 1 / max(|sum m grad|^2 + sum |m grad|^2, eps) (dfsph.rs:68-97)."""
+        g = self.grid
+        m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
+
+        def terms(ri_to_rj, r_sq, r):
+            mgrad = self.kernel.gradient(ri_to_rj, r_sq, r) * m
+            return {"vec": mgrad, "sq": jnp.sum(mgrad * mgrad, axis=-1)}
+
+        dyn = pair_reduce(terms, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g)
+        stat = pair_reduce(terms, ctx.pos_pad, ctx.mask, boundary.pos_pad, boundary.mask, g)
+        vec = dyn["vec"] + stat["vec"]
+        denom = jnp.sum(vec * vec, axis=-1) + dyn["sq"] + stat["sq"]
+        alpha_pad = 1.0 / jnp.maximum(denom, jnp.asarray(ALPHA_EPSILON, REAL))
+        return slots_to_sorted(alpha_pad, ctx.slots, g)
+
+    def _velocity_divergence(self, ctx: DenseCtx, v_pad):
+        """sum_dyn (vi - vj).grad + vi.sum_grad_stat (dfsph.rs:99-126, 249-280)."""
+        g = self.grid
+
+        def div(ri_to_rj, r_sq, r, v_j):
+            grad = self.kernel.gradient(ri_to_rj, r_sq, r)
+            dv = v_pad[:, :, :, None, :] - v_j
+            return jnp.sum(dv * grad, axis=-1)
+
+        dyn = pair_reduce(
+            div, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g, source_values=(v_pad,)
+        )
+        return dyn + jnp.sum(v_pad * ctx.sum_grad_stat, axis=-1)
+
+    def _k_correction(self, ctx: DenseCtx, k_pad):
+        """sum_dyn (ki + kj) grad + ki * sum_grad_stat (dfsph.rs:128-161)."""
+        g = self.grid
+
+        def corr(ri_to_rj, r_sq, r, k_j):
+            grad = self.kernel.gradient(ri_to_rj, r_sq, r)
+            return (k_pad[:, :, :, None] + k_j)[..., None] * grad
+
+        dyn = pair_reduce(
+            corr, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g, source_values=(k_pad,)
+        )
+        return dyn + k_pad[..., None] * ctx.sum_grad_stat
+
+    def _mean_live(self, value_pad, ctx: DenseCtx, n_particles):
+        total = jnp.sum(jnp.where(ctx.mask, value_pad, 0.0))
+        return total / jnp.asarray(n_particles, REAL)
+
+    # ------------------------------------------------------------ density loop
+
+    def _correct_density_error(self, dt, dens_pad, alpha_pad, v_pad, kappa_pad,
+                               prev_iterations, ctx: DenseCtx, n_particles):
+        rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
+        m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
+        inv_dt = 1.0 / dt
+        tol = jnp.asarray(self.max_avg_density_error, dtype=REAL)
+
+        def warmstart(v):
+            k = 0.5 * jnp.maximum(kappa_pad, -0.5 * rho0 * rho0)
+            return v - inv_dt * m * self._k_correction(ctx, k)
+
+        v_pad = jax.lax.cond(prev_iterations > 1, warmstart, lambda v: v, v_pad)
+        kappa_pad = jnp.zeros_like(kappa_pad)
+
+        def body(state):
+            v, k_sum, num, _avg = state
+            delta = self._velocity_divergence(ctx, v)
+            err = jnp.maximum(dens_pad + delta * m * dt, rho0) - rho0
+            ki = err * alpha_pad
+            k_sum = k_sum + ki
+            v = v - inv_dt * m * self._k_correction(ctx, ki)
+            avg = self._mean_live(err, ctx, n_particles)
+            return v, k_sum, num + 1, avg
+
+        def cond(state):
+            _v, _k, num, avg = state
+            return (num == 0) | (
+                ((avg / rho0) * dt >= tol) & (num <= self.max_density_iterations)
+            )
+
+        return jax.lax.while_loop(
+            cond, body, (v_pad, kappa_pad, jnp.int32(0), jnp.asarray(jnp.inf, REAL))
+        )
+
+    # --------------------------------------------------------- divergence loop
+
+    def _correct_divergence_error(self, dt, alpha_pad, v_pad, stiff_pad,
+                                  prev_iterations, ctx: DenseCtx, n_particles):
+        rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
+        m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
+        tol = jnp.asarray(self.max_divergence_error, dtype=REAL)
+
+        def warmstart(v):
+            s = 0.5 * jnp.maximum(stiff_pad, -0.5 * rho0 * rho0)
+            return v - m * self._k_correction(ctx, s)
+
+        v_pad = jax.lax.cond(prev_iterations > 1, warmstart, lambda v: v, v_pad)
+        stiff_pad = jnp.zeros_like(stiff_pad)
+
+        def body(state):
+            v, s_sum, num, _avg = state
+            delta = self._velocity_divergence(ctx, v) * m
+            delta = jnp.maximum(delta, 0.0)
+            # particle-deficiency guard (<9 total neighbors, dfsph.rs:260-264)
+            delta = jnp.where(ctx.neighbor_total < 9, 0.0, delta)
+            ki = delta * alpha_pad
+            s_sum = s_sum + ki
+            v = v - m * self._k_correction(ctx, ki)
+            avg = self._mean_live(delta, ctx, n_particles) / rho0
+            return v, s_sum, num + 1, avg
+
+        def cond(state):
+            _v, _s, num, avg = state
+            return (num == 0) | (
+                (avg * dt >= tol) & (num <= self.max_divergence_iterations)
+            )
+
+        return jax.lax.while_loop(
+            cond, body, (v_pad, stiff_pad, jnp.int32(0), jnp.asarray(jnp.inf, REAL))
+        )
+
+    # -------------------------------------------------------------------- init
+
+    def init_carry(self, state: ParticleState, boundary: BoundaryDense) -> DFSPHDenseCarry:
+        (state,), sorted_keys = self._sort((state,), state.positions)
+        ctx = self._ctx(state.positions, sorted_keys, boundary)
+        densities = self._density(ctx, boundary)
+        alpha = self._alpha(ctx, boundary)
+        n = state.positions.shape[0]
+        return DFSPHDenseCarry(
+            particles=state._replace(densities=densities),
+            alpha=alpha,
+            warmstart_kappa=jnp.zeros((n,), dtype=REAL),
+            warmstart_stiffness=jnp.zeros((n,), dtype=REAL),
+            ctx=ctx,
+            prev_density_iterations=jnp.int32(1),
+            prev_divergence_iterations=jnp.int32(0),
+            time=TimeState.initial(self.step_config),
+        )
+
+    # -------------------------------------------------------------------- step
+
+    def step(self, carry: DFSPHDenseCarry, boundary: BoundaryDense):
+        """One simulation step; ordering identical to models/dfsph.py `step`
+        (reference: dfsph.rs:414-525)."""
+        g = self.grid
+        particles = carry.particles
+        positions, velocities, densities = particles
+        ctx = carry.ctx
+        time_state = carry.time
+        dt = time_state.dt
+        n = positions.shape[0]
+        m = self.properties.particle_mass
+
+        # --- non-pressure forces (gravity + viscosity, dynamic neighbors only)
+        v_pad = pad_to_slots(velocities, ctx.slots, g)
+        rho_pad = pad_to_slots(densities, ctx.slots, g)
+
+        def visc(ri_to_rj, r_sq, r, v_j, rho_j):
+            dv = v_j - v_pad[:, :, :, None, :]
+            return self.viscosity_model.compute_viscous_acceleration(
+                dt, r_sq, r, m, rho_j, dv
+            )
+
+        visc_pad = pair_reduce(
+            visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
+            source_values=(v_pad, rho_pad),
+        )
+        accel = slots_to_sorted(visc_pad, ctx.slots, g) + jnp.asarray(
+            self.gravity, dtype=REAL
+        )[None, :]
+
+        # --- CFL with old-dt estimate (dfsph.rs:472-481)
+        v_estimate = velocities + accel * dt
+        max_velocity = jnp.sqrt(jnp.max(jnp.sum(v_estimate * v_estimate, axis=-1)))
+        time_state = update_simulation_step(
+            self.step_config, time_state,
+            self.properties.particle_radius * 2.0, max_velocity,
+        )
+        dt = time_state.dt
+
+        # --- predict v* with the NEW dt, then constant-density loop in padded layout
+        predicted = velocities + accel * dt
+        pred_pad = pad_to_slots(predicted, ctx.slots, g)
+        dens_pad = rho_pad
+        alpha_pad = pad_to_slots(carry.alpha, ctx.slots, g)
+        kappa_pad = pad_to_slots(carry.warmstart_kappa, ctx.slots, g)
+        pred_pad, kappa_pad, density_iters, avg_density_error = (
+            self._correct_density_error(
+                dt, dens_pad, alpha_pad, pred_pad, kappa_pad,
+                carry.prev_density_iterations, ctx, n,
+            )
+        )
+        predicted = slots_to_sorted(pred_pad, ctx.slots, g)
+        kappa = slots_to_sorted(kappa_pad, ctx.slots, g)
+
+        # --- advect + re-sort + rebuild ctx (dfsph.rs:499-512)
+        positions = positions + predicted * dt
+        (positions, predicted, kappa, stiffness), sorted_keys = self._sort(
+            (positions, predicted, kappa, carry.warmstart_stiffness), positions
+        )
+        ctx = self._ctx(positions, sorted_keys, boundary)
+
+        # --- densities + alpha (dfsph.rs:516-518)
+        densities = self._density(ctx, boundary)
+        alpha = self._alpha(ctx, boundary)
+
+        # --- divergence-free loop in padded layout (dfsph.rs:521)
+        pred_pad = pad_to_slots(predicted, ctx.slots, g)
+        alpha_pad = pad_to_slots(alpha, ctx.slots, g)
+        stiff_pad = pad_to_slots(stiffness, ctx.slots, g)
+        pred_pad, stiff_pad, divergence_iters, avg_divergence = (
+            self._correct_divergence_error(
+                dt, alpha_pad, pred_pad, stiff_pad,
+                carry.prev_divergence_iterations, ctx, n,
+            )
+        )
+        predicted = slots_to_sorted(pred_pad, ctx.slots, g)
+        stiffness = slots_to_sorted(stiff_pad, ctx.slots, g)
+
+        new_carry = DFSPHDenseCarry(
+            particles=ParticleState(positions, predicted, densities),
+            alpha=alpha,
+            warmstart_kappa=kappa,
+            warmstart_stiffness=stiffness,
+            ctx=ctx,
+            prev_density_iterations=density_iters,
+            prev_divergence_iterations=divergence_iters,
+            time=time_state,
+        )
+        diagnostics = Diagnostics(
+            dt=dt,
+            max_velocity=max_velocity,
+            neighbor_drops=ctx.num_dropped,
+            density_iterations=density_iters,
+            divergence_iterations=divergence_iters,
+            avg_density_error=avg_density_error,
+            avg_divergence=avg_divergence,
+        )
+        return new_carry, diagnostics
+
+    def simulate(self, carry: DFSPHDenseCarry, boundary: BoundaryDense, num_steps: int):
+        def body(_, loop_carry):
+            c, _diag = loop_carry
+            c = c._replace(time=c.time.account_step())
+            return self.step(c, boundary)
+
+        return jax.lax.fori_loop(0, num_steps, body, (carry, Diagnostics.zeros()))

@@ -1,0 +1,219 @@
+"""Dense padded cell grid: gather-free neighbor access for TPU.
+
+The fixed-degree `(N, K)` neighbor tables (ops/neighborhood.py) are faithful to the
+reference's per-particle neighbor lists (neighborhood_search.rs:312-397) but their
+construction and consumption are gather/scatter bound — the worst ops on TPU. This
+module is the TPU-first alternative:
+
+  1. particles are sorted by row-major cell key (as before);
+  2. the *whole domain* becomes a dense (ny, nx, P) slot grid (P = max occupancy per
+     cell, static). Slot tables are built WITHOUT scatters: cell starts come from one
+     vectorized binary search, and a cell's slots are `start + lane` because sorted
+     particles of one cell are contiguous;
+  3. every per-pair interaction reads its 3x3 cell neighborhood through NINE STATIC
+     SLICES of a (ny+2, nx+2, P, ...) zero-padded array — no gather, no scatter, no
+     searchsorted in the hot loop. Pair reductions are dense (ny, nx, P, 9P) VPU ops
+     that XLA fuses.
+
+The (9P,) candidate axis plays the role of the reference's neighbor list; masked
+slots simply contribute zero (kernels evaluate to 0 outside support). The domain box
+is static configuration (DenseGridConfig); escaped particles clamp into border cells
+where the distance filter drops their interactions, and cell overflow beyond P is
+counted and surfaced in diagnostics, mirroring the reference's neighbor-overflow
+accounting (neighborhood_search.rs:361).
+
+Sharding: the ny axis is the natural `shard_map` spatial-decomposition axis; the
+zero-padding rows become one-cell-row halos exchanged with `lax.ppermute`.
+"""
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..units import INDEX, REAL
+
+MIN_DISTANCE_SQ = 1.0e-10  # self/degenerate filter (reference: neighborhood_search.rs:324)
+
+
+@dataclass(frozen=True)
+class DenseGridConfig:
+    """Static dense-grid configuration (hashable; folds into jit).
+
+    The grid covers [origin, origin + (nx, ny) * cell_size); cell_size == search
+    radius == smoothing length (neighborhood_search.rs:461-479 contract).
+    """
+
+    cell_size: float
+    origin: tuple  # (x0, y0)
+    nx: int
+    ny: int
+    occupancy: int = 8  # P: max particles per cell (static)
+
+    @property
+    def radius_sq(self) -> float:
+        return self.cell_size * self.cell_size
+
+    @property
+    def num_cells(self) -> int:
+        return self.nx * self.ny
+
+    def contains(self, rect) -> bool:
+        x, y, w, h = rect
+        x1 = self.origin[0] + self.nx * self.cell_size
+        y1 = self.origin[1] + self.ny * self.cell_size
+        return x >= self.origin[0] and y >= self.origin[1] and x + w <= x1 and y + h <= y1
+
+
+def cell_coords(positions: jax.Array, grid: DenseGridConfig):
+    """(cx, cy) int32 cell coordinates, clamped into the grid."""
+    inv = jnp.asarray(1.0 / grid.cell_size, dtype=REAL)
+    origin = jnp.asarray(grid.origin, dtype=REAL)
+    coords = jnp.floor((positions - origin) * inv).astype(INDEX)
+    cx = jnp.clip(coords[..., 0], 0, grid.nx - 1)
+    cy = jnp.clip(coords[..., 1], 0, grid.ny - 1)
+    return cx, cy
+
+
+def cell_keys(positions: jax.Array, grid: DenseGridConfig) -> jax.Array:
+    cx, cy = cell_coords(positions, grid)
+    return cy * grid.nx + cx
+
+
+class SlotGrid(NamedTuple):
+    """Dense slot layout of one sorted index space.
+
+    `slot_idx[c, p]` indexes into the SORTED particle arrays; `slot_mask[c, p]` marks
+    live slots. `inverse[i] = c_i * P + rank_i` maps sorted particle order to flat
+    slot order (for padded<->sorted conversions). `num_dropped` counts particles
+    beyond the per-cell occupancy cap.
+    """
+
+    slot_idx: jax.Array  # (C, P) int32 into sorted arrays (clamped where masked)
+    slot_mask: jax.Array  # (C, P) bool
+    inverse: jax.Array  # (N,) int32 into flat (C*P,) slot order
+    in_grid: jax.Array  # (N,) bool: particle kept (rank < P)
+    num_dropped: jax.Array  # () int32
+
+
+def build_slot_grid(sorted_keys: jax.Array, grid: DenseGridConfig) -> SlotGrid:
+    """Build the dense slot layout from sorted cell keys. Scatter-free."""
+    n = sorted_keys.shape[0]
+    p = grid.occupancy
+    c = grid.num_cells
+
+    if n == 0:
+        return SlotGrid(
+            slot_idx=jnp.zeros((c, p), dtype=INDEX),
+            slot_mask=jnp.zeros((c, p), dtype=bool),
+            inverse=jnp.zeros((0,), dtype=INDEX),
+            in_grid=jnp.zeros((0,), dtype=bool),
+            num_dropped=jnp.zeros((), dtype=INDEX),
+        )
+
+    # starts[c] = first sorted index with key >= c ; counts from adjacent diffs
+    cell_iota = jnp.arange(c + 1, dtype=sorted_keys.dtype)
+    starts = jnp.searchsorted(
+        sorted_keys, cell_iota, side="left", method="scan_unrolled"
+    ).astype(INDEX)
+    counts = starts[1:] - starts[:-1]  # (C,)
+    starts = starts[:-1]
+
+    lane = jnp.arange(p, dtype=INDEX)
+    slot_idx = starts[:, None] + lane[None, :]
+    slot_mask = lane[None, :] < jnp.minimum(counts, p)[:, None]
+    slot_idx = jnp.clip(slot_idx, 0, n - 1)
+
+    # rank of each sorted particle within its cell
+    rank = jnp.arange(n, dtype=INDEX) - starts[sorted_keys]
+    in_grid = rank < p
+    inverse = jnp.clip(sorted_keys * p + jnp.minimum(rank, p - 1), 0, c * p - 1)
+    num_dropped = jnp.sum(jnp.maximum(counts - p, 0)).astype(INDEX)
+
+    return SlotGrid(
+        slot_idx=slot_idx,
+        slot_mask=slot_mask,
+        inverse=inverse.astype(INDEX),
+        in_grid=in_grid,
+        num_dropped=num_dropped,
+    )
+
+
+def pad_to_slots(values: jax.Array, slots: SlotGrid, grid: DenseGridConfig):
+    """Sorted per-particle values (N, ...) -> padded (ny, nx, P, ...); masked slots
+    hold the value at a clamped index (callers must mask)."""
+    padded = values[slots.slot_idx]  # (C, P, ...)
+    return padded.reshape((grid.ny, grid.nx, grid.occupancy) + values.shape[1:])
+
+
+def slots_to_sorted(padded: jax.Array, slots: SlotGrid, grid: DenseGridConfig):
+    """Padded (ny, nx, P, ...) -> sorted per-particle (N, ...)."""
+    flat = padded.reshape((grid.num_cells * grid.occupancy,) + padded.shape[3:])
+    return flat[slots.inverse]
+
+
+def neighbor_windows(padded: jax.Array):
+    """All 3x3 cell-neighborhood slots as one candidate axis.
+
+    padded: (ny, nx, P, ...) -> (ny, nx, 9P, ...): for each cell, the slots of its
+    nine surrounding cells (zero-padded at the domain border). Nine STATIC slices —
+    the only data movement is XLA-fused shifting.
+    """
+    ny, nx, p = padded.shape[:3]
+    z = jnp.zeros_like(padded[:1])
+    rows = jnp.concatenate([z, padded, z], axis=0)  # (ny+2, nx, P, ...)
+    zc = jnp.zeros_like(rows[:, :1])
+    full = jnp.concatenate([zc, rows, zc], axis=1)  # (ny+2, nx+2, P, ...)
+
+    views = [
+        full[dy : dy + ny, dx : dx + nx]  # (ny, nx, P, ...)
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    return jnp.concatenate(views, axis=2)  # (ny, nx, 9P, ...)
+
+
+def pair_reduce(
+    fn,
+    query_padded_pos: jax.Array,  # (ny, nx, P, 2)
+    query_mask: jax.Array,  # (ny, nx, P) bool
+    source_padded_pos: jax.Array,  # (ny, nx, P, 2)
+    source_mask: jax.Array,  # (ny, nx, P) bool
+    grid: DenseGridConfig,
+    source_values=(),
+):
+    """Fused masked pair reduction over each query slot's 3x3 cell neighborhood.
+
+    `fn(ri_to_rj, r_sq, r, *cand_values) -> pytree` computes per-pair contributions;
+    each leaf has shape (ny, nx, P, 9P) or (ny, nx, P, 9P, D). Invalid pairs (dead
+    slots, out of radius, self) are zeroed, then every leaf is summed over the
+    candidate axis -> (ny, nx, P[, D]). Extra per-source-slot arrays in
+    `source_values` (each (ny, nx, P[, D])) are windowed to the candidate axis and
+    passed to `fn` broadcast-ready as (ny, nx, 1, 9P[, D]).
+
+    Nothing (ny, nx, P, 9P)-shaped is returned, so XLA is free to fuse geometry,
+    `fn`, masking, and reduction into one pass without materializing pair tensors.
+    """
+    cand_pos = neighbor_windows(source_padded_pos)  # (ny, nx, 9P, 2)
+    cand_mask = neighbor_windows(source_mask)  # (ny, nx, 9P)
+    cand_vals = [
+        neighbor_windows(v)[:, :, None] for v in source_values
+    ]  # each (ny, nx, 1, 9P, ...)
+
+    ri_to_rj = cand_pos[:, :, None, :, :] - query_padded_pos[:, :, :, None, :]
+    r_sq = jnp.sum(ri_to_rj * ri_to_rj, axis=-1)
+    valid = (
+        query_mask[:, :, :, None]
+        & cand_mask[:, :, None, :]
+        & (r_sq <= jnp.asarray(grid.radius_sq, dtype=REAL))
+        & (r_sq > jnp.asarray(MIN_DISTANCE_SQ, dtype=REAL))
+    )
+
+    per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq), *cand_vals)
+
+    def reduce_leaf(leaf):
+        mask = valid if leaf.ndim == valid.ndim else valid[..., None]
+        return jnp.sum(jnp.where(mask, leaf, 0.0), axis=3)
+
+    return jax.tree_util.tree_map(reduce_leaf, per_pair)

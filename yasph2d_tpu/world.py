@@ -245,6 +245,32 @@ class FluidParticleWorld:
             self.boundary_changed = False
         return self._boundary_grid
 
+    def dense_grid(self, occupancy: int = 8, margin_cells: int = 2):
+        """DenseGridConfig covering the scene's bounding box (fluid + boundary) with
+        a safety margin, for the dense-layout fast path (ops/dense_grid.py)."""
+        from .ops.dense_grid import DenseGridConfig
+
+        pts = [self.host_positions(), self.host_boundary_positions()]
+        pts = np.concatenate([p for p in pts if p.shape[0]], axis=0)
+        assert pts.shape[0] > 0, "empty scene"
+        h = self.properties.smoothing_length
+        lo = np.floor(pts.min(axis=0) / h) - margin_cells
+        hi = np.ceil(pts.max(axis=0) / h) + margin_cells
+        return DenseGridConfig(
+            cell_size=h,
+            origin=(float(lo[0] * h), float(lo[1] * h)),
+            nx=int(hi[0] - lo[0]),
+            ny=int(hi[1] - lo[1]),
+            occupancy=occupancy,
+        )
+
+    def boundary_dense(self, grid, occupancy: int = 16):
+        """Dense-layout static index space for the dense solver."""
+        from .models.dfsph_dense import build_boundary_dense
+
+        boundary = jnp.asarray(self.host_boundary_positions(), dtype=REAL)
+        return build_boundary_dense(boundary, grid, occupancy)
+
 
 def update_neighborhood(pytree, positions: jax.Array, boundary: CellGrid, grid: GridConfig):
     """Sort a particle pytree into cell order and rebuild both neighbor tables.
