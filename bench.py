@@ -71,7 +71,9 @@ def main():
     if backend == "dense":
         from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
 
-        grid = world.dense_grid(occupancy=12)
+        grid = world.dense_grid(
+            occupancy=int(os.environ.get("YASPH_BENCH_OCCUPANCY", 8))
+        )
         solver = DFSPHDenseSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,

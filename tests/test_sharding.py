@@ -112,3 +112,63 @@ def test_sharded_step_matches_single_device(mesh):
         rtol=1e-5,
         atol=1e-3,
     )
+
+
+def test_dense_sharded_step_matches_single_device(mesh):
+    """Spatial sharding of the dense backend: cell rows shard over the mesh; XLA
+    turns the neighbor-window slices into halo exchanges. Physics must match the
+    single-device dense run."""
+    from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
+    from yasph2d_tpu.parallel.sharding import (
+        dense_shardings,
+        make_space_mesh,
+        pad_particles_dense,
+        shard_dense,
+    )
+
+    mesh = make_space_mesh(jax.devices()[:8])
+    world = small_dam_break(particle_density=1600.0)
+    grid = world.dense_grid(occupancy=12, ny_multiple=8)
+    assert grid.ny % 8 == 0
+    solver = DFSPHDenseSolver(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties,
+        grid=grid,
+        step_config=FixedTimeStep(1.0 / 3000.0),
+    )
+    boundary = world.boundary_dense(grid)
+    state = pad_particles_dense(world.initial_state(), 8, grid)
+    carry = solver.init_carry(state, boundary)
+    n = state.positions.shape[0]
+
+    def steps(carry, boundary):
+        c, _ = solver.simulate(carry, boundary, 5)
+        return c
+
+    c_single = jax.jit(steps)(carry, boundary)
+
+    s_carry, s_boundary = shard_dense(carry, boundary, mesh, grid)
+    sharded = jax.jit(
+        steps,
+        in_shardings=(
+            dense_shardings(carry, mesh, n, grid.ny, grid.nx),
+            dense_shardings(boundary, mesh, -1, grid.ny, grid.nx),
+        ),
+        out_shardings=dense_shardings(carry, mesh, n, grid.ny, grid.nx),
+    )
+    c_mesh = sharded(s_carry, s_boundary)
+
+    np.testing.assert_allclose(
+        np.asarray(c_single.particles.positions),
+        np.asarray(c_mesh.particles.positions),
+        rtol=0,
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_single.particles.densities),
+        np.asarray(c_mesh.particles.densities),
+        rtol=1e-5,
+        atol=1e-3,
+    )

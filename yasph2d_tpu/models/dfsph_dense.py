@@ -71,13 +71,20 @@ def build_boundary_dense(
 
 class DenseCtx(NamedTuple):
     """Per-rebuild pair context: everything that is invariant while positions are
-    frozen (the table solver's _PairCache analog, plus the layout itself)."""
+    frozen (the table solver's _PairCache analog, plus the layout itself).
+
+    All position-only pair quantities — density sums, alpha terms, neighbor counts,
+    static gradient sums — come out of exactly TWO pair passes (one against the fluid
+    grid, one against the boundary grid), minimizing window materialization traffic.
+    """
 
     slots: SlotGrid
     pos_pad: jax.Array  # (ny, nx, P, 2)
     mask: jax.Array  # (ny, nx, P) bool
     sum_grad_stat: jax.Array  # (ny, nx, P, 2): sum of grad W to boundary neighbors
     neighbor_total: jax.Array  # (ny, nx, P) f32: dyn+static neighbor counts
+    densities_pad: jax.Array  # (ny, nx, P): clamped density per slot
+    alpha_pad: jax.Array  # (ny, nx, P): DFSPH alpha per slot
     num_dropped: jax.Array  # () int32
 
 
@@ -124,60 +131,60 @@ class DFSPHDenseSolver:
         return jax.tree_util.tree_map(lambda a: a[perm], pytree), sorted_keys
 
     def _ctx(self, sorted_positions, sorted_keys, boundary: BoundaryDense) -> DenseCtx:
+        """Build the per-rebuild context with exactly two pair passes.
+
+        Each pass emits every position-only per-pair quantity at once: W (density,
+        fluidparticleworld.rs:197-231), m*gradW vector + squared-norm sums (alpha,
+        dfsph.rs:68-97), and pair counts (deficiency guard, dfsph.rs:260-264).
+        """
         g = self.grid
+        m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
         slots = build_slot_grid(sorted_keys, g)
         pos_pad = pad_to_slots(sorted_positions, slots, g)
         mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
 
-        def grad_and_one(ri_to_rj, r_sq, r):
+        def terms(ri_to_rj, r_sq, r):
+            mgrad = self.kernel.gradient(ri_to_rj, r_sq, r) * m
             return {
-                "grad": self.kernel.gradient(ri_to_rj, r_sq, r),
+                "w": self.kernel.evaluate(r_sq, r),
+                "vec": mgrad,
+                "sq": jnp.sum(mgrad * mgrad, axis=-1),
                 "count": jnp.ones_like(r_sq),
             }
 
-        stat = pair_reduce(grad_and_one, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
-        dyn_count = pair_reduce(
-            lambda ri, r_sq, r: jnp.ones_like(r_sq), pos_pad, mask, pos_pad, mask, g
-        )
+        dyn = pair_reduce(terms, pos_pad, mask, pos_pad, mask, g)
+        stat = pair_reduce(terms, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
+
+        zero = jnp.zeros((), dtype=REAL)
+        dens_pad = m * (self.kernel.evaluate(zero, zero) + dyn["w"] + stat["w"])
+        dens_pad = jnp.maximum(dens_pad, jnp.asarray(self.properties.fluid_density, REAL))
+        # overflow-dropped particles read back as rho0 / zero-alpha (graceful)
+
+        vec = dyn["vec"] + stat["vec"]
+        denom = jnp.sum(vec * vec, axis=-1) + dyn["sq"] + stat["sq"]
+        alpha_pad = 1.0 / jnp.maximum(denom, jnp.asarray(ALPHA_EPSILON, REAL))
+
         return DenseCtx(
             slots=slots,
             pos_pad=pos_pad,
             mask=mask,
-            sum_grad_stat=stat["grad"],
-            neighbor_total=dyn_count + stat["count"],
+            sum_grad_stat=stat["vec"] / m,
+            neighbor_total=dyn["count"] + stat["count"],
+            densities_pad=dens_pad,
+            alpha_pad=alpha_pad,
             num_dropped=slots.num_dropped + boundary.num_dropped,
         )
 
     # --------------------------------------------------------------- pair ops
 
     def _density(self, ctx: DenseCtx, boundary: BoundaryDense) -> jax.Array:
-        """rho_i = m (W(0) + sum_dyn W + sum_stat W), clamped >= rho0
-        (fluidparticleworld.rs:197-231)."""
-        g = self.grid
-        m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
-        w = lambda ri, r_sq, r: self.kernel.evaluate(r_sq, r)
-        dyn = pair_reduce(w, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g)
-        stat = pair_reduce(w, ctx.pos_pad, ctx.mask, boundary.pos_pad, boundary.mask, g)
-        zero = jnp.zeros((), dtype=REAL)
-        dens_pad = m * (self.kernel.evaluate(zero, zero) + dyn + stat)
-        dens = slots_to_sorted(dens_pad, ctx.slots, g)
-        return jnp.maximum(dens, jnp.asarray(self.properties.fluid_density, REAL))
+        """Clamped density per particle, sorted layout (computed in _ctx)."""
+        rho0 = jnp.asarray(self.properties.fluid_density, REAL)
+        return slots_to_sorted(ctx.densities_pad, ctx.slots, self.grid, fallback=rho0)
 
     def _alpha(self, ctx: DenseCtx, boundary: BoundaryDense) -> jax.Array:
-        """alpha = 1 / max(|sum m grad|^2 + sum |m grad|^2, eps) (dfsph.rs:68-97)."""
-        g = self.grid
-        m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
-
-        def terms(ri_to_rj, r_sq, r):
-            mgrad = self.kernel.gradient(ri_to_rj, r_sq, r) * m
-            return {"vec": mgrad, "sq": jnp.sum(mgrad * mgrad, axis=-1)}
-
-        dyn = pair_reduce(terms, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g)
-        stat = pair_reduce(terms, ctx.pos_pad, ctx.mask, boundary.pos_pad, boundary.mask, g)
-        vec = dyn["vec"] + stat["vec"]
-        denom = jnp.sum(vec * vec, axis=-1) + dyn["sq"] + stat["sq"]
-        alpha_pad = 1.0 / jnp.maximum(denom, jnp.asarray(ALPHA_EPSILON, REAL))
-        return slots_to_sorted(alpha_pad, ctx.slots, g)
+        """DFSPH alpha per particle, sorted layout (computed in _ctx)."""
+        return slots_to_sorted(ctx.alpha_pad, ctx.slots, self.grid)
 
     def _velocity_divergence(self, ctx: DenseCtx, v_pad):
         """sum_dyn (vi - vj).grad + vi.sum_grad_stat (dfsph.rs:99-126, 249-280)."""
@@ -318,7 +325,7 @@ class DFSPHDenseSolver:
 
         # --- non-pressure forces (gravity + viscosity, dynamic neighbors only)
         v_pad = pad_to_slots(velocities, ctx.slots, g)
-        rho_pad = pad_to_slots(densities, ctx.slots, g)
+        rho_pad = ctx.densities_pad  # carried from last rebuild (== particles.densities)
 
         def visc(ri_to_rj, r_sq, r, v_j, rho_j):
             dv = v_j - v_pad[:, :, :, None, :]
@@ -347,7 +354,7 @@ class DFSPHDenseSolver:
         predicted = velocities + accel * dt
         pred_pad = pad_to_slots(predicted, ctx.slots, g)
         dens_pad = rho_pad
-        alpha_pad = pad_to_slots(carry.alpha, ctx.slots, g)
+        alpha_pad = ctx.alpha_pad
         kappa_pad = pad_to_slots(carry.warmstart_kappa, ctx.slots, g)
         pred_pad, kappa_pad, density_iters, avg_density_error = (
             self._correct_density_error(
@@ -355,7 +362,8 @@ class DFSPHDenseSolver:
                 carry.prev_density_iterations, ctx, n,
             )
         )
-        predicted = slots_to_sorted(pred_pad, ctx.slots, g)
+        # dropped particles keep their uncorrected prediction
+        predicted = slots_to_sorted(pred_pad, ctx.slots, g, fallback=predicted)
         kappa = slots_to_sorted(kappa_pad, ctx.slots, g)
 
         # --- advect + re-sort + rebuild ctx (dfsph.rs:499-512)
@@ -371,7 +379,7 @@ class DFSPHDenseSolver:
 
         # --- divergence-free loop in padded layout (dfsph.rs:521)
         pred_pad = pad_to_slots(predicted, ctx.slots, g)
-        alpha_pad = pad_to_slots(alpha, ctx.slots, g)
+        alpha_pad = ctx.alpha_pad
         stiff_pad = pad_to_slots(stiffness, ctx.slots, g)
         pred_pad, stiff_pad, divergence_iters, avg_divergence = (
             self._correct_divergence_error(
@@ -379,7 +387,7 @@ class DFSPHDenseSolver:
                 carry.prev_divergence_iterations, ctx, n,
             )
         )
-        predicted = slots_to_sorted(pred_pad, ctx.slots, g)
+        predicted = slots_to_sorted(pred_pad, ctx.slots, g, fallback=predicted)
         stiffness = slots_to_sorted(stiff_pad, ctx.slots, g)
 
         new_carry = DFSPHDenseCarry(

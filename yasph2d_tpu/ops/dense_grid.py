@@ -147,10 +147,21 @@ def pad_to_slots(values: jax.Array, slots: SlotGrid, grid: DenseGridConfig):
     return padded.reshape((grid.ny, grid.nx, grid.occupancy) + values.shape[1:])
 
 
-def slots_to_sorted(padded: jax.Array, slots: SlotGrid, grid: DenseGridConfig):
-    """Padded (ny, nx, P, ...) -> sorted per-particle (N, ...)."""
+def slots_to_sorted(padded: jax.Array, slots: SlotGrid, grid: DenseGridConfig,
+                    fallback=None):
+    """Padded (ny, nx, P, ...) -> sorted per-particle (N, ...).
+
+    Particles dropped by cell overflow (rank >= P) have no slot; they receive
+    `fallback` (per-particle array or scalar; default 0) instead of another
+    particle's values — overflow degrades gracefully, like the reference's neighbor
+    truncation (neighborhood_search.rs:361), never corrupts.
+    """
     flat = padded.reshape((grid.num_cells * grid.occupancy,) + padded.shape[3:])
-    return flat[slots.inverse]
+    gathered = flat[slots.inverse]
+    if fallback is None:
+        fallback = jnp.zeros((), dtype=gathered.dtype)
+    in_grid = slots.in_grid.reshape((-1,) + (1,) * (gathered.ndim - 1))
+    return jnp.where(in_grid, gathered, fallback)
 
 
 def neighbor_windows(padded: jax.Array):

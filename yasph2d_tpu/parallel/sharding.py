@@ -62,6 +62,87 @@ def shard_carry(carry, boundary, mesh: Mesh):
     return carry, boundary
 
 
+SPACE_AXIS = "space"
+
+
+def make_space_mesh(devices=None) -> Mesh:
+    """1D mesh whose axis shards the dense grid's cell-row (ny) dimension."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (SPACE_AXIS,))
+
+
+def dense_leaf_spec(leaf, num_particles: int, ny: int, nx: int) -> P:
+    """PartitionSpec for a DFSPHDenseCarry / BoundaryDense leaf.
+
+    Padded-layout arrays (leading dims (ny, nx) or (ny*nx,)) shard their cell-row
+    axis over SPACE_AXIS — XLA's SPMD partitioner converts the +-1-row static slices
+    of `neighbor_windows` into one-cell-row halo exchanges over ICI. Sorted (N,)
+    particle arrays shard over the same axis (pure data parallelism; the padded <->
+    sorted conversion gathers become collectives). Everything else replicates.
+    """
+    if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+        return P()
+    s = leaf.shape
+    if leaf.ndim >= 2 and s[0] == ny and s[1] == nx:
+        return P(SPACE_AXIS)
+    if s[0] == ny * nx:  # flat (C, P) slot arrays
+        return P(SPACE_AXIS)
+    if s[0] == num_particles:
+        return P(SPACE_AXIS)
+    return P()
+
+
+def dense_shardings(pytree, mesh: Mesh, num_particles: int, ny: int, nx: int):
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(
+            mesh, dense_leaf_spec(leaf, num_particles, ny, nx)
+        ),
+        pytree,
+    )
+
+
+def shard_dense(carry, boundary, mesh: Mesh, grid):
+    """Place a DFSPHDenseCarry + BoundaryDense onto the mesh."""
+    n = carry.particles.positions.shape[0]
+    carry = jax.device_put(carry, dense_shardings(carry, mesh, n, grid.ny, grid.nx))
+    boundary = jax.device_put(
+        boundary, dense_shardings(boundary, mesh, -1, grid.ny, grid.nx)
+    )
+    return carry, boundary
+
+
+def pad_particles_dense(state, multiple: int, grid):
+    """Pad a ParticleState so N divides the mesh size — dense-grid variant.
+
+    Each padding particle parks in its own bottom-margin cell column (one per cell,
+    spaced exactly cell_size, below every boundary), so: no real pair interactions
+    (W(h) == 0), no slot overflow even after they free-fall out of the box (clamped
+    cell keys keep them one-per-column in row 0), and no effect on the physics. Like
+    the table-grid variant they do inflate the CFL v_max over long runs — production
+    scenes should pick divisible counts instead.
+    """
+    import jax.numpy as jnp
+
+    n = state.positions.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return state
+    assert pad <= grid.nx, "more padding than grid columns"
+    h = grid.cell_size
+    xs = grid.origin[0] + (0.5 + np.arange(pad, dtype=np.float32)) * h
+    ys = np.full((pad,), grid.origin[1] + 0.5 * h, dtype=np.float32)
+    park = np.stack([xs, ys], axis=-1)
+    return type(state)(
+        positions=jnp.concatenate([state.positions, jnp.asarray(park)], axis=0),
+        velocities=jnp.concatenate(
+            [state.velocities, jnp.zeros((pad, 2), state.velocities.dtype)], axis=0
+        ),
+        densities=jnp.concatenate(
+            [state.densities, jnp.zeros((pad,), state.densities.dtype)], axis=0
+        ),
+    )
+
+
 def pad_particle_count(state, multiple: int, park_at=(-99.0, -99.0), spacing=0.5):
     """Pad a ParticleState so N divides the mesh size.
 

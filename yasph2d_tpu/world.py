@@ -245,9 +245,12 @@ class FluidParticleWorld:
             self.boundary_changed = False
         return self._boundary_grid
 
-    def dense_grid(self, occupancy: int = 8, margin_cells: int = 2):
+    def dense_grid(self, occupancy: int = 8, margin_cells: int = 2, ny_multiple: int = 1):
         """DenseGridConfig covering the scene's bounding box (fluid + boundary) with
-        a safety margin, for the dense-layout fast path (ops/dense_grid.py)."""
+        a safety margin, for the dense-layout fast path (ops/dense_grid.py).
+
+        `ny_multiple`: round the cell-row count up so the ny axis divides a device
+        mesh (spatial sharding shards cell rows across chips)."""
         from .ops.dense_grid import DenseGridConfig
 
         pts = [self.host_positions(), self.host_boundary_positions()]
@@ -256,11 +259,13 @@ class FluidParticleWorld:
         h = self.properties.smoothing_length
         lo = np.floor(pts.min(axis=0) / h) - margin_cells
         hi = np.ceil(pts.max(axis=0) / h) + margin_cells
+        ny = int(hi[1] - lo[1])
+        ny += (-ny) % ny_multiple
         return DenseGridConfig(
             cell_size=h,
             origin=(float(lo[0] * h), float(lo[1] * h)),
             nx=int(hi[0] - lo[0]),
-            ny=int(hi[1] - lo[1]),
+            ny=ny,
             occupancy=occupancy,
         )
 
