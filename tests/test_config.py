@@ -1,0 +1,67 @@
+"""Declarative config: JSON round-trip + building every solver kind."""
+
+import numpy as np
+import jax
+import pytest
+
+from yasph2d_tpu.config import (
+    BoundaryThickLine,
+    FluidConfig,
+    FluidRect,
+    SimulationConfig,
+    SolverConfig,
+    TimestepConfig,
+    ViscosityConfig,
+)
+
+
+def small_config(kind):
+    return SimulationConfig(
+        fluid=FluidConfig(particle_density=1600.0),
+        solver=SolverConfig(kind=kind),
+        timestep=TimestepConfig(kind="fixed", fixed_timestep=1.0 / 3000.0),
+        scene=[
+            FluidRect(rect=(0.1, 0.7, 0.5, 1.0), jitter=0.05),
+            BoundaryThickLine(start=(0.0, 0.0), end=(2.0, 0.0), thickness=4),
+            BoundaryThickLine(start=(0.0, 0.0), end=(0.0, 2.5), thickness=4),
+            BoundaryThickLine(start=(2.0, 0.0), end=(2.0, 2.5), thickness=4),
+            BoundaryThickLine(start=(-2.0, -0.5), end=(4.0, -0.5), thickness=4),
+        ],
+    )
+
+
+def test_json_roundtrip(tmp_path):
+    cfg = small_config("dfsph_dense")
+    path = str(tmp_path / "cfg.json")
+    cfg.to_json(path)
+    loaded = SimulationConfig.from_json(path)
+    assert loaded == cfg
+
+
+def test_unknown_keys_rejected():
+    with pytest.raises(ValueError, match="unknown"):
+        SimulationConfig.from_dict({"fluid": {"particle_densty": 100.0}})
+
+
+@pytest.mark.parametrize("kind", ["wcsph", "dfsph", "dfsph_dense"])
+def test_build_and_step_each_solver(kind):
+    cfg = small_config(kind)
+    world, solver, boundary, carry = cfg.build()
+    assert world.num_dynamic_particles > 100
+    carry, _ = jax.jit(solver.simulate, static_argnums=2)(carry, boundary, 5)
+    pos = np.asarray(carry.particles.positions)
+    assert np.isfinite(pos).all()
+
+
+def test_physical_viscosity_and_adaptive():
+    cfg = SimulationConfig(
+        fluid=FluidConfig(particle_density=1600.0),
+        viscosity=ViscosityConfig(kind="physical", fluid_viscosity=0.01),
+        timestep=TimestepConfig(kind="adaptive"),
+        solver=SolverConfig(kind="dfsph_dense"),
+        scene=small_config("dfsph_dense").scene,
+    )
+    _, solver, boundary, carry = cfg.build()
+    carry, diag = jax.jit(solver.simulate, static_argnums=2)(carry, boundary, 5)
+    assert np.isfinite(np.asarray(carry.particles.positions)).all()
+    assert float(diag.dt) > 0
