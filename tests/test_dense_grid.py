@@ -112,13 +112,13 @@ def test_dense_pair_reduce_with_values_matches_brute_force():
     padded_vel = pad_to_slots(vel, slots, grid)
     mask = slots.slot_mask.reshape(grid.ny, grid.nx, grid.occupancy)
 
-    def div_fn(ri_to_rj, r_sq, r, v_j):
+    def div_fn(ri_to_rj, r_sq, r, v_i, v_j):
         grad = kernel.gradient(ri_to_rj, r_sq, r)
-        dv = padded_vel[:, :, :, None, :] - v_j
-        return jnp.sum(dv * grad, axis=-1)
+        return jnp.sum((v_i - v_j) * grad, axis=-1)
 
     out_padded = pair_reduce(
-        div_fn, padded_pos, mask, padded_pos, mask, grid, source_values=(padded_vel,)
+        div_fn, padded_pos, mask, padded_pos, mask, grid,
+        source_values=(padded_vel,), query_values=(padded_vel,),
     )
     out = np.asarray(slots_to_sorted(out_padded, slots, grid))
 

@@ -190,13 +190,13 @@ class DFSPHDenseSolver:
         """sum_dyn (vi - vj).grad + vi.sum_grad_stat (dfsph.rs:99-126, 249-280)."""
         g = self.grid
 
-        def div(ri_to_rj, r_sq, r, v_j):
+        def div(ri_to_rj, r_sq, r, v_i, v_j):
             grad = self.kernel.gradient(ri_to_rj, r_sq, r)
-            dv = v_pad[:, :, :, None, :] - v_j
-            return jnp.sum(dv * grad, axis=-1)
+            return jnp.sum((v_i - v_j) * grad, axis=-1)
 
         dyn = pair_reduce(
-            div, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g, source_values=(v_pad,)
+            div, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
+            source_values=(v_pad,), query_values=(v_pad,),
         )
         return dyn + jnp.sum(v_pad * ctx.sum_grad_stat, axis=-1)
 
@@ -204,12 +204,13 @@ class DFSPHDenseSolver:
         """sum_dyn (ki + kj) grad + ki * sum_grad_stat (dfsph.rs:128-161)."""
         g = self.grid
 
-        def corr(ri_to_rj, r_sq, r, k_j):
+        def corr(ri_to_rj, r_sq, r, k_i, k_j):
             grad = self.kernel.gradient(ri_to_rj, r_sq, r)
-            return (k_pad[:, :, :, None] + k_j)[..., None] * grad
+            return (k_i + k_j)[..., None] * grad
 
         dyn = pair_reduce(
-            corr, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g, source_values=(k_pad,)
+            corr, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
+            source_values=(k_pad,), query_values=(k_pad,),
         )
         return dyn + k_pad[..., None] * ctx.sum_grad_stat
 
@@ -327,15 +328,14 @@ class DFSPHDenseSolver:
         v_pad = pad_to_slots(velocities, ctx.slots, g)
         rho_pad = ctx.densities_pad  # carried from last rebuild (== particles.densities)
 
-        def visc(ri_to_rj, r_sq, r, v_j, rho_j):
-            dv = v_j - v_pad[:, :, :, None, :]
+        def visc(ri_to_rj, r_sq, r, v_i, v_j, rho_j):
             return self.viscosity_model.compute_viscous_acceleration(
-                dt, r_sq, r, m, rho_j, dv
+                dt, r_sq, r, m, rho_j, v_j - v_i
             )
 
         visc_pad = pair_reduce(
             visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
-            source_values=(v_pad, rho_pad),
+            source_values=(v_pad, rho_pad), query_values=(v_pad,),
         )
         accel = slots_to_sorted(visc_pad, ctx.slots, g) + jnp.asarray(
             self.gravity, dtype=REAL

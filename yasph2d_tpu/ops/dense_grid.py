@@ -50,6 +50,10 @@ class DenseGridConfig:
     nx: int
     ny: int
     occupancy: int = 8  # P: max particles per cell (static)
+    # Pair passes process this many cell rows at a time (lax.map): bounds the
+    # (rows, nx, P, 9P)-shaped temporaries to ~row_block/ny of the full size, which
+    # is what keeps 1M-particle grids inside HBM. None = single block.
+    row_block: int = 64
 
     @property
     def radius_sq(self) -> float:
@@ -185,46 +189,131 @@ def neighbor_windows(padded: jax.Array):
     return jnp.concatenate(views, axis=2)  # (ny, nx, 9P, ...)
 
 
-def pair_reduce(
-    fn,
-    query_padded_pos: jax.Array,  # (ny, nx, P, 2)
-    query_mask: jax.Array,  # (ny, nx, P) bool
-    source_padded_pos: jax.Array,  # (ny, nx, P, 2)
-    source_mask: jax.Array,  # (ny, nx, P) bool
-    grid: DenseGridConfig,
-    source_values=(),
-):
-    """Fused masked pair reduction over each query slot's 3x3 cell neighborhood.
+def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
+                       cand_vals_halo, grid: DenseGridConfig):
+    """One row-block pair reduction.
 
-    `fn(ri_to_rj, r_sq, r, *cand_values) -> pytree` computes per-pair contributions;
-    each leaf has shape (ny, nx, P, 9P) or (ny, nx, P, 9P, D). Invalid pairs (dead
-    slots, out of radius, self) are zeroed, then every leaf is summed over the
-    candidate axis -> (ny, nx, P[, D]). Extra per-source-slot arrays in
-    `source_values` (each (ny, nx, P[, D])) are windowed to the candidate axis and
-    passed to `fn` broadcast-ready as (ny, nx, 1, 9P[, D]).
-
-    Nothing (ny, nx, P, 9P)-shaped is returned, so XLA is free to fuse geometry,
-    `fn`, masking, and reduction into one pass without materializing pair tensors.
+    q_* / query_vals: (B, nx, P, ...) query rows; s_*_halo / cand_vals_halo:
+    (B+2, nx, Ps, ...) source rows including one halo row above and below.
     """
-    cand_pos = neighbor_windows(source_padded_pos)  # (ny, nx, 9P, 2)
-    cand_mask = neighbor_windows(source_mask)  # (ny, nx, 9P)
-    cand_vals = [
-        neighbor_windows(v)[:, :, None] for v in source_values
-    ]  # each (ny, nx, 1, 9P, ...)
+    b = q_pos.shape[0]
 
-    ri_to_rj = cand_pos[:, :, None, :, :] - query_padded_pos[:, :, :, None, :]
+    def windows(halo):
+        # column-pad, then stack the 3x3 neighborhood along the candidate axis
+        zc = jnp.zeros_like(halo[:, :1])
+        full = jnp.concatenate([zc, halo, zc], axis=1)  # (B+2, nx+2, P, ...)
+        views = [
+            full[dy : dy + b, dx : dx + halo.shape[1]]
+            for dy in range(3)
+            for dx in range(3)
+        ]
+        return jnp.concatenate(views, axis=2)  # (B, nx, 9P, ...)
+
+    cand_pos = windows(s_pos_halo)
+    cand_mask = windows(s_mask_halo)
+    cand_vals = [windows(v)[:, :, None] for v in cand_vals_halo]
+    q_vals = [
+        v[:, :, :, None] if v.ndim == 3 else v[:, :, :, None, :] for v in query_vals
+    ]
+
+    ri_to_rj = cand_pos[:, :, None, :, :] - q_pos[:, :, :, None, :]
     r_sq = jnp.sum(ri_to_rj * ri_to_rj, axis=-1)
     valid = (
-        query_mask[:, :, :, None]
+        q_mask[:, :, :, None]
         & cand_mask[:, :, None, :]
         & (r_sq <= jnp.asarray(grid.radius_sq, dtype=REAL))
         & (r_sq > jnp.asarray(MIN_DISTANCE_SQ, dtype=REAL))
     )
 
-    per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq), *cand_vals)
+    per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq), *q_vals, *cand_vals)
 
     def reduce_leaf(leaf):
         mask = valid if leaf.ndim == valid.ndim else valid[..., None]
         return jnp.sum(jnp.where(mask, leaf, 0.0), axis=3)
 
     return jax.tree_util.tree_map(reduce_leaf, per_pair)
+
+
+def pair_reduce(
+    fn,
+    query_padded_pos: jax.Array,  # (ny, nx, P, 2)
+    query_mask: jax.Array,  # (ny, nx, P) bool
+    source_padded_pos: jax.Array,  # (ny, nx, Ps, 2)
+    source_mask: jax.Array,  # (ny, nx, Ps) bool
+    grid: DenseGridConfig,
+    source_values=(),
+    query_values=(),
+):
+    """Fused masked pair reduction over each query slot's 3x3 cell neighborhood.
+
+    `fn(ri_to_rj, r_sq, r, *query_values, *cand_values) -> pytree` computes per-pair
+    contributions; each leaf has shape (B, nx, P, 9Ps) or (B, nx, P, 9Ps, D) for a
+    row block B. Invalid pairs (dead slots, out of radius, self) are zeroed, then
+    every leaf is summed over the candidate axis -> (ny, nx, P[, D]).
+
+    Per-query-slot arrays in `query_values` (each (ny, nx, P[, D])) reach `fn`
+    broadcast-ready as (B, nx, P, 1[, D]); per-source-slot arrays in `source_values`
+    (each (ny, nx, Ps[, D])) are windowed to the candidate axis and passed as
+    (B, nx, 1, 9Ps[, D]). `fn` must NOT close over full-domain arrays — blocks only
+    see their row slice.
+
+    The pass is chunked over `grid.row_block` cell rows via `lax.map`, so per-pair
+    temporaries never exceed ~(row_block+2, nx, P, 9Ps) regardless of domain size —
+    the 1M-particle grids would otherwise blow HBM on materialized pair tensors.
+    """
+    ny = query_padded_pos.shape[0]
+    block = grid.row_block or ny
+    if ny <= block:
+        pad_rows = lambda a: jnp.concatenate(
+            [jnp.zeros_like(a[:1]), a, jnp.zeros_like(a[:1])], axis=0
+        )
+        return _pair_reduce_block(
+            fn, query_padded_pos, query_mask, list(query_values),
+            pad_rows(source_padded_pos), pad_rows(source_mask),
+            [pad_rows(v) for v in source_values], grid,
+        )
+
+    nb = -(-ny // block)
+    ny_pad = nb * block
+
+    def pad_to(a, rows):
+        extra = rows - a.shape[0]
+        if extra == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((extra,) + a.shape[1:], dtype=a.dtype)], axis=0
+        )
+
+    q_pos = pad_to(query_padded_pos, ny_pad)
+    q_mask = pad_to(query_mask, ny_pad)
+    q_vals = [pad_to(v, ny_pad) for v in query_values]
+    # source arrays get one halo row on each side of the padded domain
+    s_pos = jnp.concatenate(
+        [jnp.zeros_like(source_padded_pos[:1]), pad_to(source_padded_pos, ny_pad),
+         jnp.zeros_like(source_padded_pos[:1])], axis=0)
+    s_mask = jnp.concatenate(
+        [jnp.zeros_like(source_mask[:1]), pad_to(source_mask, ny_pad),
+         jnp.zeros_like(source_mask[:1])], axis=0)
+    s_vals = [
+        jnp.concatenate([jnp.zeros_like(v[:1]), pad_to(v, ny_pad),
+                         jnp.zeros_like(v[:1])], axis=0)
+        for v in source_values
+    ]
+
+    def body(i):
+        r0 = i * block
+        q_p = jax.lax.dynamic_slice_in_dim(q_pos, r0, block, axis=0)
+        q_m = jax.lax.dynamic_slice_in_dim(q_mask, r0, block, axis=0)
+        q_v = [jax.lax.dynamic_slice_in_dim(v, r0, block, axis=0) for v in q_vals]
+        s_p = jax.lax.dynamic_slice_in_dim(s_pos, r0, block + 2, axis=0)
+        s_m = jax.lax.dynamic_slice_in_dim(s_mask, r0, block + 2, axis=0)
+        s_v = [jax.lax.dynamic_slice_in_dim(v, r0, block + 2, axis=0) for v in s_vals]
+        return _pair_reduce_block(fn, q_p, q_m, q_v, s_p, s_m, s_v, grid)
+
+    out = jax.lax.map(body, jnp.arange(nb, dtype=jnp.int32))  # (nb, B, nx, P, ...)
+
+    def unblock(leaf):
+        merged = leaf.reshape((ny_pad,) + leaf.shape[2:])
+        return merged[:ny]
+
+    return jax.tree_util.tree_map(unblock, out)
