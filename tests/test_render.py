@@ -134,3 +134,14 @@ def test_native_png_roundtrip(tmp_path):
 
     loaded = np.asarray(Image.open(path))
     np.testing.assert_array_equal(loaded, img)
+
+
+def test_app_dense_solver(tmp_path):
+    from yasph2d_tpu.app import SimulationApp, UpdateMode, default_world
+
+    world = default_world(particle_density=1600.0)
+    app = SimulationApp(solver="dfsph_dense", world=world, resolution=(64, 64),
+                        update_mode=UpdateMode.RECORDING,
+                        recording_dir=str(tmp_path / "r"))
+    app.run(2)
+    assert np.isfinite(np.asarray(app.carry.particles.positions)).all()

@@ -82,7 +82,7 @@ class SimulationApp:
         self.world = world if world is not None else default_world()
         h = self.world.properties.smoothing_length
 
-        cfl_factor = {"wcsph": 0.2, "dfsph": 1.5}[solver]  # main.rs:115-118
+        cfl_factor = {"wcsph": 0.2, "dfsph": 1.5, "dfsph_dense": 1.5}[solver]
         step_config = AdaptiveTimeStep(
             timestep_max=1.0 / 120.0 / 3.0,  # main.rs:122
             timestep_min=1.0 / 60.0 / 400.0,  # main.rs:123
@@ -104,6 +104,16 @@ class SimulationApp:
                 viscosity_model=viscosity,
                 properties=self.world.properties,
                 grid=self.world.grid,
+                step_config=step_config,
+            )
+        elif solver == "dfsph_dense":
+            from .models.dfsph_dense import DFSPHDenseSolver
+
+            dense_grid = self.world.dense_grid(occupancy=8)
+            self.solver = DFSPHDenseSolver(
+                viscosity_model=viscosity,
+                properties=self.world.properties,
+                grid=dense_grid,
                 step_config=step_config,
             )
         else:
@@ -137,12 +147,17 @@ class SimulationApp:
         self.last_diagnostics = None
 
         self._jitted_step = jax.jit(self.solver.step, donate_argnums=0)
-        self.boundary = self.world.boundary_grid()
+        if solver == "dfsph_dense":
+            self.boundary = self.world.boundary_dense(self.solver.grid)
+        else:
+            self.boundary = self.world.boundary_grid()
+        # boundary positions for rendering, independent of the solver's index space
+        self._boundary_render_positions = self.world.host_boundary_positions()
         self._init_carry()
 
     def _init_carry(self):
         state = self.world.initial_state()
-        if self.solver_name == "dfsph":
+        if self.solver_name in ("dfsph", "dfsph_dense"):
             self.carry = self.solver.init_carry(state, self.boundary)
         else:
             self.carry = self.solver.init_carry(state)
@@ -189,7 +204,7 @@ class SimulationApp:
         image = self.renderer.render(
             positions=np.asarray(particles.positions),
             velocities=np.asarray(particles.velocities),
-            boundary_positions=np.asarray(self.boundary.positions),
+            boundary_positions=self._boundary_render_positions,
         )
         if self.update_mode == UpdateMode.RECORDING:
             self.recorder.save_frame(self.time_manager.num_frames_rendered, image)

@@ -139,7 +139,8 @@ class DFSPHDenseSolver:
         """
         g = self.grid
         m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
-        slots = build_slot_grid(sorted_keys, g)
+        with jax.named_scope("NeighborhoodSearch.update_dynamic"):
+            slots = build_slot_grid(sorted_keys, g)
         pos_pad = pad_to_slots(sorted_positions, slots, g)
         mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
 
@@ -152,8 +153,9 @@ class DFSPHDenseSolver:
                 "count": jnp.ones_like(r_sq),
             }
 
-        dyn = pair_reduce(terms, pos_pad, mask, pos_pad, mask, g)
-        stat = pair_reduce(terms, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
+        with jax.named_scope("FluidParticleWorld.update_densities+alpha"):
+            dyn = pair_reduce(terms, pos_pad, mask, pos_pad, mask, g)
+            stat = pair_reduce(terms, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
 
         zero = jnp.zeros((), dtype=REAL)
         dens_pad = m * (self.kernel.evaluate(zero, zero) + dyn["w"] + stat["w"])
@@ -333,10 +335,11 @@ class DFSPHDenseSolver:
                 dt, r_sq, r, m, rho_j, v_j - v_i
             )
 
-        visc_pad = pair_reduce(
-            visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
-            source_values=(v_pad, rho_pad), query_values=(v_pad,),
-        )
+        with jax.named_scope("DFSPH.non_pressure_forces"):
+            visc_pad = pair_reduce(
+                visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
+                source_values=(v_pad, rho_pad), query_values=(v_pad,),
+            )
         accel = slots_to_sorted(visc_pad, ctx.slots, g) + jnp.asarray(
             self.gravity, dtype=REAL
         )[None, :]
@@ -356,12 +359,13 @@ class DFSPHDenseSolver:
         dens_pad = rho_pad
         alpha_pad = ctx.alpha_pad
         kappa_pad = pad_to_slots(carry.warmstart_kappa, ctx.slots, g)
-        pred_pad, kappa_pad, density_iters, avg_density_error = (
-            self._correct_density_error(
-                dt, dens_pad, alpha_pad, pred_pad, kappa_pad,
-                carry.prev_density_iterations, ctx, n,
+        with jax.named_scope("DFSPH.correct_density_error"):
+            pred_pad, kappa_pad, density_iters, avg_density_error = (
+                self._correct_density_error(
+                    dt, dens_pad, alpha_pad, pred_pad, kappa_pad,
+                    carry.prev_density_iterations, ctx, n,
+                )
             )
-        )
         # dropped particles keep their uncorrected prediction
         predicted = slots_to_sorted(pred_pad, ctx.slots, g, fallback=predicted)
         kappa = slots_to_sorted(kappa_pad, ctx.slots, g)
@@ -381,12 +385,13 @@ class DFSPHDenseSolver:
         pred_pad = pad_to_slots(predicted, ctx.slots, g)
         alpha_pad = ctx.alpha_pad
         stiff_pad = pad_to_slots(stiffness, ctx.slots, g)
-        pred_pad, stiff_pad, divergence_iters, avg_divergence = (
-            self._correct_divergence_error(
-                dt, alpha_pad, pred_pad, stiff_pad,
-                carry.prev_divergence_iterations, ctx, n,
+        with jax.named_scope("DFSPH.correct_divergence_error"):
+            pred_pad, stiff_pad, divergence_iters, avg_divergence = (
+                self._correct_divergence_error(
+                    dt, alpha_pad, pred_pad, stiff_pad,
+                    carry.prev_divergence_iterations, ctx, n,
+                )
             )
-        )
         predicted = slots_to_sorted(pred_pad, ctx.slots, g, fallback=predicted)
         stiffness = slots_to_sorted(stiff_pad, ctx.slots, g)
 
