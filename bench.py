@@ -71,9 +71,13 @@ def main():
     if backend == "dense":
         from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
 
+        import dataclasses
+
         grid = world.dense_grid(
             occupancy=int(os.environ.get("YASPH_BENCH_OCCUPANCY", 8))
         )
+        if os.environ.get("YASPH_BENCH_PALLAS") == "1":
+            grid = dataclasses.replace(grid, use_pallas=True)
         solver = DFSPHDenseSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,

@@ -119,6 +119,17 @@ class DFSPHDenseSolver:
             self, "kernel", WendlandQuinticC2(self.properties.smoothing_length)
         )
         assert abs(self.grid.cell_size - self.properties.smoothing_length) < 1e-12
+        if self.grid.use_pallas:
+            from functools import partial
+
+            from ..ops.pallas_pair import pallas_pair_reduce
+
+            object.__setattr__(
+                self, "_reduce",
+                partial(pallas_pair_reduce, block_rows=self.grid.pallas_block_rows),
+            )
+        else:
+            object.__setattr__(self, "_reduce", pair_reduce)
 
     # ------------------------------------------------------------------ layout
 
@@ -138,7 +149,7 @@ class DFSPHDenseSolver:
         dfsph.rs:68-97), and pair counts (deficiency guard, dfsph.rs:260-264).
         """
         g = self.grid
-        m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
+        m = float(self.properties.particle_mass)  # python float: folds into fn traces
         with jax.named_scope("NeighborhoodSearch.update_dynamic"):
             slots = build_slot_grid(sorted_keys, g)
         pos_pad = pad_to_slots(sorted_positions, slots, g)
@@ -154,8 +165,8 @@ class DFSPHDenseSolver:
             }
 
         with jax.named_scope("FluidParticleWorld.update_densities+alpha"):
-            dyn = pair_reduce(terms, pos_pad, mask, pos_pad, mask, g)
-            stat = pair_reduce(terms, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
+            dyn = self._reduce(terms, pos_pad, mask, pos_pad, mask, g)
+            stat = self._reduce(terms, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
 
         zero = jnp.zeros((), dtype=REAL)
         dens_pad = m * (self.kernel.evaluate(zero, zero) + dyn["w"] + stat["w"])
@@ -196,7 +207,7 @@ class DFSPHDenseSolver:
             grad = self.kernel.gradient(ri_to_rj, r_sq, r)
             return jnp.sum((v_i - v_j) * grad, axis=-1)
 
-        dyn = pair_reduce(
+        dyn = self._reduce(
             div, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
             source_values=(v_pad,), query_values=(v_pad,),
         )
@@ -210,7 +221,7 @@ class DFSPHDenseSolver:
             grad = self.kernel.gradient(ri_to_rj, r_sq, r)
             return (k_i + k_j)[..., None] * grad
 
-        dyn = pair_reduce(
+        dyn = self._reduce(
             corr, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
             source_values=(k_pad,), query_values=(k_pad,),
         )
@@ -330,15 +341,16 @@ class DFSPHDenseSolver:
         v_pad = pad_to_slots(velocities, ctx.slots, g)
         rho_pad = ctx.densities_pad  # carried from last rebuild (== particles.densities)
 
-        def visc(ri_to_rj, r_sq, r, v_i, v_j, rho_j):
+        def visc(ri_to_rj, r_sq, r, dt_s, v_i, v_j, rho_j):
             return self.viscosity_model.compute_viscous_acceleration(
-                dt, r_sq, r, m, rho_j, v_j - v_i
+                dt_s, r_sq, r, m, rho_j, v_j - v_i
             )
 
         with jax.named_scope("DFSPH.non_pressure_forces"):
-            visc_pad = pair_reduce(
+            visc_pad = self._reduce(
                 visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
                 source_values=(v_pad, rho_pad), query_values=(v_pad,),
+                scalar_args=(dt,),
             )
         accel = slots_to_sorted(visc_pad, ctx.slots, g) + jnp.asarray(
             self.gravity, dtype=REAL

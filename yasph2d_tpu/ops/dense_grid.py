@@ -54,6 +54,10 @@ class DenseGridConfig:
     # (rows, nx, P, 9P)-shaped temporaries to ~row_block/ny of the full size, which
     # is what keeps 1M-particle grids inside HBM. None = single block.
     row_block: int = 64
+    # Run pair passes through the Pallas TPU kernel (ops/pallas_pair.py) instead of
+    # the XLA lax.map path. Same math, VMEM-resident windows.
+    use_pallas: bool = False
+    pallas_block_rows: int = 8
 
     @property
     def radius_sq(self) -> float:
@@ -190,7 +194,7 @@ def neighbor_windows(padded: jax.Array):
 
 
 def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
-                       cand_vals_halo, grid: DenseGridConfig):
+                       cand_vals_halo, grid: DenseGridConfig, scalar_args=()):
     """One row-block pair reduction.
 
     q_* / query_vals: (B, nx, P, ...) query rows; s_*_halo / cand_vals_halo:
@@ -225,7 +229,7 @@ def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
         & (r_sq > jnp.asarray(MIN_DISTANCE_SQ, dtype=REAL))
     )
 
-    per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq), *q_vals, *cand_vals)
+    per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq), *scalar_args, *q_vals, *cand_vals)
 
     def reduce_leaf(leaf):
         mask = valid if leaf.ndim == valid.ndim else valid[..., None]
@@ -243,10 +247,12 @@ def pair_reduce(
     grid: DenseGridConfig,
     source_values=(),
     query_values=(),
+    scalar_args=(),
 ):
     """Fused masked pair reduction over each query slot's 3x3 cell neighborhood.
 
-    `fn(ri_to_rj, r_sq, r, *query_values, *cand_values) -> pytree` computes per-pair
+    `fn(ri_to_rj, r_sq, r, *scalar_args, *query_values, *cand_values) -> pytree`
+    computes per-pair
     contributions; each leaf has shape (B, nx, P, 9Ps) or (B, nx, P, 9Ps, D) for a
     row block B. Invalid pairs (dead slots, out of radius, self) are zeroed, then
     every leaf is summed over the candidate axis -> (ny, nx, P[, D]).
@@ -270,7 +276,7 @@ def pair_reduce(
         return _pair_reduce_block(
             fn, query_padded_pos, query_mask, list(query_values),
             pad_rows(source_padded_pos), pad_rows(source_mask),
-            [pad_rows(v) for v in source_values], grid,
+            [pad_rows(v) for v in source_values], grid, scalar_args,
         )
 
     nb = -(-ny // block)
@@ -308,7 +314,21 @@ def pair_reduce(
         s_p = jax.lax.dynamic_slice_in_dim(s_pos, r0, block + 2, axis=0)
         s_m = jax.lax.dynamic_slice_in_dim(s_mask, r0, block + 2, axis=0)
         s_v = [jax.lax.dynamic_slice_in_dim(v, r0, block + 2, axis=0) for v in s_vals]
-        return _pair_reduce_block(fn, q_p, q_m, q_v, s_p, s_m, s_v, grid)
+
+        def run(_):
+            return _pair_reduce_block(fn, q_p, q_m, q_v, s_p, s_m, s_v, grid,
+                                      scalar_args)
+
+        def skip(_):
+            out_shape = jax.eval_shape(run, None)
+            return jax.tree_util.tree_map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), out_shape
+            )
+
+        # Skip blocks with no live query slots: in typical scenes (a tank partially
+        # filled with fluid) a large fraction of cell rows is empty, and this prunes
+        # their pair work entirely (per-pair terms are zero for dead slots anyway).
+        return jax.lax.cond(jnp.any(q_m), run, skip, None)
 
     out = jax.lax.map(body, jnp.arange(nb, dtype=jnp.int32))  # (nb, B, nx, P, ...)
 
