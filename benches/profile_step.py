@@ -48,6 +48,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--particles", type=int, default=100_000)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--backend", default="table", choices=["table", "dense"])
+    parser.add_argument("--pallas", action="store_true")
     parser.add_argument("--trace", default=None, help="xprof trace output dir")
     args = parser.parse_args()
     if args.cpu:
@@ -59,6 +61,9 @@ def main():
     import jax.numpy as jnp
 
     from bench import double_dam_break
+
+    if args.backend == "dense":
+        return profile_dense(args)
     from yasph2d_tpu.models.dfsph import DFSPHSolver
     from yasph2d_tpu.models.viscosity import XSPHViscosityModel
     from yasph2d_tpu.timemanager import AdaptiveTimeStep
@@ -133,6 +138,80 @@ def main():
           neighborhood)
 
     # fused whole step
+    @jax.jit
+    def whole(c):
+        c = c._replace(time=c.time.account_step())
+        return solver.step(c, boundary)
+
+    out = _time("whole_step", whole, carry)
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        out = whole(carry)
+        _sync(out)
+        jax.profiler.stop_trace()
+        print(json.dumps({"trace": args.trace}))
+
+
+def profile_dense(args):
+    """Stage timings for the dense backend."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import double_dam_break
+    from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
+    from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+    from yasph2d_tpu.timemanager import AdaptiveTimeStep
+
+    world = double_dam_break(args.particles)
+    grid = world.dense_grid(occupancy=8)
+    if args.pallas:
+        grid = dataclasses.replace(grid, use_pallas=True)
+    solver = DFSPHDenseSolver(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties,
+        grid=grid,
+        step_config=AdaptiveTimeStep(1 / 360, 1 / 24000, 1.5),
+    )
+    boundary = world.boundary_dense(grid)
+    carry = _time("init_carry", jax.jit(solver.init_carry),
+                  world.initial_state(), boundary)
+    parts = carry.particles
+
+    @jax.jit
+    def stage_sort(state):
+        return solver._sort((state,), state.positions)
+
+    (sorted_state,), sorted_keys = _time("sort+permute", stage_sort, parts)
+
+    @jax.jit
+    def stage_ctx(pos, keys):
+        return solver._ctx(pos, keys, boundary)
+
+    ctx = _time("ctx(slots+2 pair passes)", stage_ctx,
+                sorted_state.positions, sorted_keys)
+
+    from yasph2d_tpu.ops.dense_grid import pad_to_slots
+
+    v_pad = pad_to_slots(parts.velocities, ctx.slots, grid)
+    k_pad = pad_to_slots(carry.warmstart_kappa, ctx.slots, grid)
+
+    @jax.jit
+    def stage_div(v):
+        return solver._velocity_divergence(ctx, v)
+
+    _time("velocity_divergence", stage_div, v_pad)
+
+    @jax.jit
+    def stage_corr(k):
+        return solver._k_correction(ctx, k)
+
+    _time("k_correction", stage_corr, k_pad)
+
     @jax.jit
     def whole(c):
         c = c._replace(time=c.time.account_step())
