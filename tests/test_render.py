@@ -47,6 +47,7 @@ def test_recorder_writes_png(tmp_path):
     img = np.zeros((4, 4, 3), dtype=np.uint8)
     img[1, 2] = [255, 0, 0]
     path = rec.save_frame(7, img)
+    assert rec.flush() == 0
     assert os.path.exists(path) and path.endswith("7.png")
     from PIL import Image
 
@@ -145,3 +146,24 @@ def test_app_dense_solver(tmp_path):
                         recording_dir=str(tmp_path / "r"))
     app.run(2)
     assert np.isfinite(np.asarray(app.carry.particles.positions)).all()
+
+
+def test_async_recorder_many_frames(tmp_path):
+    """Async C++ recorder: all frames land on disk, backpressure works."""
+    from yasph2d_tpu.native import load_render
+
+    if load_render() is None:
+        pytest.skip("native library unavailable")
+    rec = Recorder(str(tmp_path / "rec"), asynchronous=True,
+                   num_workers=2, queue_capacity=3)
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, (20, 32, 48, 3), dtype=np.uint8)
+    for i in range(20):
+        rec.save_frame(i, imgs[i])
+    assert rec.flush() == 0
+    from PIL import Image
+
+    for i in range(20):
+        loaded = np.asarray(Image.open(tmp_path / "rec" / f"{i}.png"))
+        np.testing.assert_array_equal(loaded, imgs[i])
+    assert rec.close() == 0

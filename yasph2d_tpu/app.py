@@ -217,4 +217,5 @@ class SimulationApp:
         for _ in range(num_frames):
             self.update()
             frames.append(self.draw())
+        self.recorder.flush()  # async PNG writes complete before returning
         return frames

@@ -12,7 +12,7 @@ import subprocess
 import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "render.cpp")
+_SRCS = [os.path.join(_DIR, "render.cpp"), os.path.join(_DIR, "recorder.cpp")]
 _SO = os.path.join(_DIR, "librender.so")
 
 _render_lib = None
@@ -22,7 +22,7 @@ _render_failed = False
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        _SRC, "-o", _SO, "-lz",
+        *_SRCS, "-o", _SO, "-lz", "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -41,8 +41,8 @@ def load_render():
     if _render_failed:
         return None
 
-    stale = not os.path.exists(_SO) or (
-        os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+    stale = not os.path.exists(_SO) or any(
+        os.path.getmtime(_SO) < os.path.getmtime(src) for src in _SRCS
     )
     if stale and not _build():
         _render_failed = True
@@ -62,5 +62,18 @@ def load_render():
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32
     ]
     lib.yasph_write_png.restype = ctypes.c_int32
+    lib.yasph_recorder_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.yasph_recorder_create.restype = ctypes.c_void_p
+    lib.yasph_recorder_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p
+    ]
+    lib.yasph_recorder_submit.restype = ctypes.c_int32
+    lib.yasph_recorder_flush.argtypes = [ctypes.c_void_p]
+    lib.yasph_recorder_flush.restype = ctypes.c_int32
+    lib.yasph_recorder_destroy.argtypes = [ctypes.c_void_p]
+    lib.yasph_recorder_destroy.restype = ctypes.c_int32
     _render_lib = lib
     return lib

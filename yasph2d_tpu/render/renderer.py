@@ -184,13 +184,62 @@ def write_png(path: str, image: np.ndarray):
 
 class Recorder:
     """PNG-sequence recording mode (reference: main.rs:380-397): frame n goes to
-    `<directory>/<n>.png`."""
+    `<directory>/<n>.png`.
 
-    def __init__(self, directory: str = "recording"):
+    With `asynchronous=True` (and the native library available) frames are encoded
+    and written by background C++ worker threads with a bounded queue, so the
+    sim/render loop never blocks on IO — unlike the reference, whose recording
+    stalls the frame thread on the screenshot+encode. Call `flush()` (or `close()`)
+    before reading the files.
+    """
+
+    def __init__(self, directory: str = "recording", asynchronous: bool = True,
+                 num_workers: int = 2, queue_capacity: int = 8):
         self.directory = directory
         os.makedirs(directory, exist_ok=True)
+        self._lib = None
+        self._handle = None
+        self._shape = None
+        self._async_cfg = (num_workers, queue_capacity)
+        if asynchronous:
+            from ..native import load_render
+
+            self._lib = load_render()
 
     def save_frame(self, frame_index: int, image: np.ndarray) -> str:
         path = os.path.join(self.directory, f"{frame_index}.png")
+        if self._lib is not None:
+            img = np.ascontiguousarray(image, dtype=np.uint8)
+            h, w, _ = img.shape
+            if self._handle is None:
+                self._shape = (h, w)
+                self._handle = self._lib.yasph_recorder_create(
+                    self.directory.encode(), w, h, *self._async_cfg
+                )
+            if self._shape == (h, w) and self._handle:
+                rc = self._lib.yasph_recorder_submit(
+                    self._handle, frame_index, img.ctypes.data
+                )
+                if rc == 0:
+                    return path
         write_png(path, image)
         return path
+
+    def flush(self) -> int:
+        """Wait for queued frames; returns the number of failed writes."""
+        if self._handle:
+            return int(self._lib.yasph_recorder_flush(self._handle))
+        return 0
+
+    def close(self) -> int:
+        if self._handle:
+            errors = int(self._lib.yasph_recorder_destroy(self._handle))
+            self._handle = None
+            return errors
+        return 0
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:  # pragma: no cover
+            pass
