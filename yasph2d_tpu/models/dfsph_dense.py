@@ -28,12 +28,16 @@ import jax
 import jax.numpy as jnp
 
 from ..units import REAL
+from typing import Optional
+
 from ..ops.dense_grid import (
     DenseGridConfig,
     SlotGrid,
     build_slot_grid,
+    cached_pair_reduce,
     cell_keys,
     pad_to_slots,
+    pair_map,
     pair_reduce,
     slots_to_sorted,
 )
@@ -85,6 +89,8 @@ class DenseCtx(NamedTuple):
     neighbor_total: jax.Array  # (ny, nx, P) f32: dyn+static neighbor counts
     densities_pad: jax.Array  # (ny, nx, P): clamped density per slot
     alpha_pad: jax.Array  # (ny, nx, P): DFSPH alpha per slot
+    grad_dyn: Optional[jax.Array]  # (ny, nx, P, 9P, 2) masked dyn-pair gradients,
+    # cached for the pressure loops (None when cache_loop_gradients is off)
     num_dropped: jax.Array  # () int32
 
 
@@ -108,6 +114,10 @@ class DFSPHDenseSolver:
     grid: DenseGridConfig
     step_config: StepConfig
     boundary_occupancy: int = 16
+    # Cache per-pair kernel gradients for the pressure loops: trades ~9P x slot-count
+    # x 8 bytes of HBM (0.8 GB at 100k particles, 8 GB at 1M -- disable there) for
+    # skipping gradient recomputation in every loop iteration.
+    cache_loop_gradients: bool = True
     max_avg_density_error: float = 0.01 / 100.0
     max_density_iterations: int = 200
     max_divergence_error: float = 0.1 / 100.0
@@ -177,6 +187,13 @@ class DFSPHDenseSolver:
         denom = jnp.sum(vec * vec, axis=-1) + dyn["sq"] + stat["sq"]
         alpha_pad = 1.0 / jnp.maximum(denom, jnp.asarray(ALPHA_EPSILON, REAL))
 
+        grad_dyn = None
+        if self.cache_loop_gradients:
+            grad_dyn = pair_map(
+                lambda ri, r_sq, r: self.kernel.gradient(ri, r_sq, r),
+                pos_pad, mask, pos_pad, mask, g,
+            )
+
         return DenseCtx(
             slots=slots,
             pos_pad=pos_pad,
@@ -185,6 +202,7 @@ class DFSPHDenseSolver:
             neighbor_total=dyn["count"] + stat["count"],
             densities_pad=dens_pad,
             alpha_pad=alpha_pad,
+            grad_dyn=grad_dyn,
             num_dropped=slots.num_dropped + boundary.num_dropped,
         )
 
@@ -203,28 +221,46 @@ class DFSPHDenseSolver:
         """sum_dyn (vi - vj).grad + vi.sum_grad_stat (dfsph.rs:99-126, 249-280)."""
         g = self.grid
 
-        def div(ri_to_rj, r_sq, r, v_i, v_j):
-            grad = self.kernel.gradient(ri_to_rj, r_sq, r)
-            return jnp.sum((v_i - v_j) * grad, axis=-1)
+        if ctx.grad_dyn is not None:
+            def div_cached(grads, v_i, v_j):
+                return jnp.sum((v_i - v_j) * grads, axis=-1)
 
-        dyn = self._reduce(
-            div, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
-            source_values=(v_pad,), query_values=(v_pad,),
-        )
+            dyn = cached_pair_reduce(
+                div_cached, ctx.grad_dyn, source_values=(v_pad,),
+                query_values=(v_pad,),
+            )
+        else:
+            def div(ri_to_rj, r_sq, r, v_i, v_j):
+                grad = self.kernel.gradient(ri_to_rj, r_sq, r)
+                return jnp.sum((v_i - v_j) * grad, axis=-1)
+
+            dyn = self._reduce(
+                div, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
+                source_values=(v_pad,), query_values=(v_pad,),
+            )
         return dyn + jnp.sum(v_pad * ctx.sum_grad_stat, axis=-1)
 
     def _k_correction(self, ctx: DenseCtx, k_pad):
         """sum_dyn (ki + kj) grad + ki * sum_grad_stat (dfsph.rs:128-161)."""
         g = self.grid
 
-        def corr(ri_to_rj, r_sq, r, k_i, k_j):
-            grad = self.kernel.gradient(ri_to_rj, r_sq, r)
-            return (k_i + k_j)[..., None] * grad
+        if ctx.grad_dyn is not None:
+            def corr_cached(grads, k_i, k_j):
+                return (k_i + k_j)[..., None] * grads
 
-        dyn = self._reduce(
-            corr, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
-            source_values=(k_pad,), query_values=(k_pad,),
-        )
+            dyn = cached_pair_reduce(
+                corr_cached, ctx.grad_dyn, source_values=(k_pad,),
+                query_values=(k_pad,),
+            )
+        else:
+            def corr(ri_to_rj, r_sq, r, k_i, k_j):
+                grad = self.kernel.gradient(ri_to_rj, r_sq, r)
+                return (k_i + k_j)[..., None] * grad
+
+            dyn = self._reduce(
+                corr, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
+                source_values=(k_pad,), query_values=(k_pad,),
+            )
         return dyn + k_pad[..., None] * ctx.sum_grad_stat
 
     def _mean_live(self, value_pad, ctx: DenseCtx, n_particles):

@@ -238,6 +238,56 @@ def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
     return jax.tree_util.tree_map(reduce_leaf, per_pair)
 
 
+def pair_map(
+    fn,
+    query_padded_pos: jax.Array,  # (ny, nx, P, 2)
+    query_mask: jax.Array,  # (ny, nx, P)
+    source_padded_pos: jax.Array,  # (ny, nx, Ps, 2)
+    source_mask: jax.Array,  # (ny, nx, Ps)
+    grid: DenseGridConfig,
+):
+    """Per-pair map WITHOUT reduction: returns fn applied to every (query, candidate)
+    pair, invalid pairs zeroed. Output leaves are (ny, nx, P, 9Ps[, D]) — LARGE
+    (9Ps times the slot count); used to cache pair-invariant quantities (kernel
+    gradients) consumed by several loop iterations. Callers are responsible for the
+    memory tradeoff."""
+    cand_pos = neighbor_windows(source_padded_pos)
+    cand_mask = neighbor_windows(source_mask)
+    ri_to_rj = cand_pos[:, :, None, :, :] - query_padded_pos[:, :, :, None, :]
+    r_sq = jnp.sum(ri_to_rj * ri_to_rj, axis=-1)
+    valid = (
+        query_mask[:, :, :, None]
+        & cand_mask[:, :, None, :]
+        & (r_sq <= jnp.asarray(grid.radius_sq, dtype=REAL))
+        & (r_sq > jnp.asarray(MIN_DISTANCE_SQ, dtype=REAL))
+    )
+    per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq))
+
+    def mask_leaf(leaf):
+        mask = valid if leaf.ndim == valid.ndim else valid[..., None]
+        return jnp.where(mask, leaf, 0.0)
+
+    return jax.tree_util.tree_map(mask_leaf, per_pair)
+
+
+def cached_pair_reduce(fn, cache, source_values=(), query_values=()):
+    """Reduction over the candidate axis using a cached per-pair pytree.
+
+    `fn(cache, *query_vals, *cand_vals) -> pytree of (ny, nx, P, 9Ps[, D])` combines
+    the cache (masked: dead pairs are exact zeros) with per-slot values; windowed
+    candidate values arrive as (ny, nx, 1, 9Ps[, D]) and query values as
+    (ny, nx, P, 1[, D]). Every output leaf is summed over the candidate axis.
+    Because the cache is zero for invalid pairs, fn must keep each term proportional
+    to a cache entry (gradients scale every solver correction, so this holds).
+    """
+    cand_vals = [neighbor_windows(v)[:, :, None] for v in source_values]
+    q_vals = [
+        v[:, :, :, None] if v.ndim == 3 else v[:, :, :, None, :] for v in query_values
+    ]
+    per_pair = fn(cache, *q_vals, *cand_vals)
+    return jax.tree_util.tree_map(lambda leaf: jnp.sum(leaf, axis=3), per_pair)
+
+
 def pair_reduce(
     fn,
     query_padded_pos: jax.Array,  # (ny, nx, P, 2)
