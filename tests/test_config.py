@@ -43,7 +43,7 @@ def test_unknown_keys_rejected():
         SimulationConfig.from_dict({"fluid": {"particle_densty": 100.0}})
 
 
-@pytest.mark.parametrize("kind", ["wcsph", "dfsph", "dfsph_dense"])
+@pytest.mark.parametrize("kind", ["wcsph", "wcsph_dense", "dfsph", "dfsph_dense"])
 def test_build_and_step_each_solver(kind):
     cfg = small_config(kind)
     world, solver, boundary, carry = cfg.build()

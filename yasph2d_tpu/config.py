@@ -123,7 +123,7 @@ class SolverConfig:
     DFSPH tolerances per dfsph.rs:49-55; WCSPH compressibility per wscsph.rs:39-49.
     """
 
-    kind: str = "dfsph_dense"
+    kind: str = "dfsph_dense"  # wcsph | wcsph_dense | dfsph | dfsph_dense
     max_avg_density_error: float = 0.01 / 100.0
     max_density_iterations: int = 200
     max_divergence_error: float = 0.1 / 100.0
@@ -223,7 +223,9 @@ class SimulationConfig:
         else:
             raise ValueError(f"unknown viscosity kind {self.viscosity.kind!r}")
 
-        cfl_default = 0.2 if self.solver.kind == "wcsph" else 1.5  # main.rs:115-118
+        cfl_default = (
+            0.2 if self.solver.kind.startswith("wcsph") else 1.5
+        )  # main.rs:115-118
         if self.timestep.kind == "fixed":
             step_config = FixedTimeStep(self.timestep.fixed_timestep)
         elif self.timestep.kind == "adaptive":
@@ -241,7 +243,25 @@ class SimulationConfig:
             raise ValueError(f"unknown timestep kind {self.timestep.kind!r}")
 
         sc = self.solver
-        if sc.kind == "wcsph":
+        if sc.kind == "wcsph_dense":
+            from .models.wcsph_dense import WCSPHDenseSolver
+
+            grid = world.dense_grid(
+                occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
+            )
+            solver = WCSPHDenseSolver(
+                viscosity_model=viscosity,
+                properties=world.properties,
+                grid=grid,
+                step_config=step_config,
+                boundary_force_factor=sc.boundary_force_factor,
+                target_density_variation=sc.target_density_variation,
+                expected_max_flow_speed=sc.expected_max_flow_speed,
+                gravity=self.gravity,
+            )
+            boundary = world.boundary_dense(grid, sc.dense_boundary_occupancy)
+            carry = solver.init_carry(world.initial_state())
+        elif sc.kind == "wcsph":
             from .models.wcsph import WCSPHSolver
 
             solver = WCSPHSolver(

@@ -1,0 +1,177 @@
+"""WCSPH on the dense padded cell grid — TPU fast path.
+
+Same algorithm as models/wcsph.py (Becker & Teschner 2007; reference:
+src/sph/solver/wscsph.rs — see that module for the step-by-step mapping): leapfrog,
+Tait EOS gamma=7, symmetric pressure force with the Spiky kernel, Poly6 density
+kernel, pluggable viscosity, Monaghan-Kajtar boundary penalty. Data layout and pair
+machinery are shared with the dense DFSPH solver (ops/dense_grid.py): all pair work
+is two fused window passes per step (one against fluid for density+alpha... here
+density only, one combined force pass), no gathers or scatters.
+
+Unlike DFSPH there are no pressure loops, so a WCSPH step is: half-kick + drift,
+sort + slot rebuild, density pass, force pass, CFL, second half-kick with the NEW dt
+(quirk kept from wscsph.rs:169-178).
+"""
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..units import REAL
+from ..ops.dense_grid import (
+    DenseGridConfig,
+    build_slot_grid,
+    cell_keys,
+    pad_to_slots,
+    pair_reduce,
+    slots_to_sorted,
+)
+from ..ops.smoothing_kernels import Poly6, Spiky
+from ..timemanager import StepConfig, TimeState, update_simulation_step
+from ..utils.diagnostics import Diagnostics
+from ..world import GRAVITY, FluidProperties, ParticleState
+from .dfsph_dense import BoundaryDense
+from .viscosity import ViscosityModel
+from .wcsph import TAIT_EQUATION_GAMMA, compute_stiffness, tait_pressure
+
+
+class WCSPHDenseCarry(NamedTuple):
+    particles: ParticleState  # sorted layout
+    accelerations: jax.Array  # (N, 2) cached for the leapfrog (wscsph.rs:21-22)
+    time: TimeState
+
+
+@dataclass(frozen=True)
+class WCSPHDenseSolver:
+    viscosity_model: ViscosityModel
+    properties: FluidProperties
+    grid: DenseGridConfig
+    step_config: StepConfig
+    boundary_force_factor: float = 1.0  # wscsph.rs:35
+    target_density_variation: float = 0.01
+    expected_max_flow_speed: float = 1.0
+    gravity: tuple = GRAVITY
+
+    def __post_init__(self):
+        h = self.properties.smoothing_length
+        object.__setattr__(self, "density_kernel", Poly6(h))
+        object.__setattr__(self, "pressure_kernel", Spiky(h))
+        object.__setattr__(
+            self,
+            "stiffness",
+            compute_stiffness(
+                self.properties,
+                self.target_density_variation,
+                self.expected_max_flow_speed,
+            ),
+        )
+        assert abs(self.grid.cell_size - h) < 1e-12
+
+    def init_carry(self, state: ParticleState) -> WCSPHDenseCarry:
+        """Zero cached accelerations (clear_cached_data, wscsph.rs:122-124)."""
+        return WCSPHDenseCarry(
+            particles=state,
+            accelerations=jnp.zeros_like(state.velocities),
+            time=TimeState.initial(self.step_config),
+        )
+
+    def _sort(self, pytree, positions):
+        keys = cell_keys(positions, self.grid)
+        n = positions.shape[0]
+        sorted_keys, perm = jax.lax.sort(
+            (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+        )
+        return jax.tree_util.tree_map(lambda a: a[perm], pytree), sorted_keys
+
+    def step(self, carry: WCSPHDenseCarry, boundary: BoundaryDense):
+        """One simulation step (reference: wscsph.rs:126-179)."""
+        g = self.grid
+        particles, accel, time_state = carry
+        dt = time_state.dt
+        m = float(self.properties.particle_mass)
+        rho0 = self.properties.fluid_density
+
+        # leapfrog part 1 (wscsph.rs:141-151)
+        velocities = particles.velocities + 0.5 * dt * accel
+        positions = particles.positions + velocities * dt
+
+        # sort + slot rebuild
+        (positions, velocities), sorted_keys = self._sort(
+            (positions, velocities), positions
+        )
+        slots = build_slot_grid(sorted_keys, g)
+        pos_pad = pad_to_slots(positions, slots, g)
+        mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
+
+        # density pass (Poly6, self-contribution, clamp; fluidparticleworld.rs:197-231)
+        w = lambda ri, r_sq, r: self.density_kernel.evaluate(r_sq, r)
+        dyn_w = pair_reduce(w, pos_pad, mask, pos_pad, mask, g)
+        stat_w = pair_reduce(w, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
+        zero = jnp.zeros((), dtype=REAL)
+        dens_pad = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat_w)
+        dens_pad = jnp.maximum(dens_pad, jnp.asarray(rho0, REAL))
+        densities = slots_to_sorted(dens_pad, slots, g, fallback=jnp.asarray(rho0, REAL))
+
+        # force pass: symmetric pressure + viscosity over dynamic neighbors
+        # (wscsph.rs:59-105), Monaghan-Kajtar boundary force (wscsph.rs:108-116)
+        pres_pad = tait_pressure(self.stiffness, rho0, dens_pad)
+        v_pad = pad_to_slots(velocities, slots, g)
+
+        def dyn_forces(ri_to_rj, r_sq, r, dt_s, p_i, rho_i, v_i, p_j, rho_j, v_j):
+            coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
+            f = coef[..., None] * self.pressure_kernel.gradient(ri_to_rj, r_sq, r)
+            return f + self.viscosity_model.compute_viscous_acceleration(
+                dt_s, r_sq, r, m, rho_j, v_j - v_i
+            )
+
+        accel_pad = pair_reduce(
+            dyn_forces, pos_pad, mask, pos_pad, mask, g,
+            source_values=(pres_pad, dens_pad, v_pad),
+            query_values=(pres_pad, dens_pad, v_pad),
+            scalar_args=(dt,),
+        )
+
+        def boundary_force(ri_to_rj, r_sq, r):
+            w_b = self.pressure_kernel.evaluate(r_sq, r)
+            c = -self.boundary_force_factor * w_b / r_sq
+            return c[..., None] * ri_to_rj
+
+        accel_pad = accel_pad + pair_reduce(
+            boundary_force, pos_pad, mask, boundary.pos_pad, boundary.mask, g
+        )
+        accel = slots_to_sorted(accel_pad, slots, g) + jnp.asarray(
+            self.gravity, dtype=REAL
+        )[None, :]
+
+        # CFL with the *old* dt estimate (wscsph.rs:158-167)
+        v_estimate = velocities + accel * dt
+        max_velocity = jnp.sqrt(jnp.max(jnp.sum(v_estimate * v_estimate, axis=-1)))
+        time_state = update_simulation_step(
+            self.step_config, time_state,
+            self.properties.particle_radius * 2.0, max_velocity,
+        )
+
+        # leapfrog part 2 with the NEW dt (wscsph.rs:169-178)
+        velocities = velocities + 0.5 * time_state.dt * accel
+
+        new_carry = WCSPHDenseCarry(
+            particles=ParticleState(positions, velocities, densities),
+            accelerations=accel,
+            time=time_state,
+        )
+        diagnostics = Diagnostics.zeros()._replace(
+            dt=dt,
+            max_velocity=max_velocity,
+            neighbor_drops=slots.num_dropped + boundary.num_dropped,
+        )
+        return new_carry, diagnostics
+
+    def simulate(self, carry: WCSPHDenseCarry, boundary: BoundaryDense, num_steps: int):
+        def body(_, loop_carry):
+            c, _diag = loop_carry
+            c = c._replace(time=c.time.account_step())
+            return self.step(c, boundary)
+
+        return jax.lax.fori_loop(0, num_steps, body, (carry, Diagnostics.zeros()))
