@@ -142,6 +142,7 @@ class SimulationApp:
         self.step_duration_history = collections.deque(
             maxlen=SIMULATION_STEP_HISTORY_LENGTH
         )
+        self.warnings = collections.deque(maxlen=100)
         self.simulation_processing_time_total = 0.0
         self.simulation_is_realtime = True
         self.last_diagnostics = None
@@ -181,6 +182,34 @@ class SimulationApp:
         dt_wall = time.perf_counter() - t0
         self.step_duration_history.append(dt_wall)
         self.simulation_processing_time_total += dt_wall
+        self._check_solver_health()
+
+    def _check_solver_health(self):
+        """Solver warnings the reference prints per step (dfsph.rs:236-245, 391-400;
+        neighborhood_search.rs:361): iteration caps hit, neighbor overflow, non-finite
+        residuals. Counted and printed at most once per frame."""
+        d = self.last_diagnostics
+        if d is None:
+            return
+        drops = int(d.neighbor_drops)
+        if drops:
+            self.warnings.append(f"neighbor overflow: {drops} dropped")
+        if hasattr(self.solver, "max_density_iterations"):
+            if int(d.density_iterations) > self.solver.max_density_iterations:
+                self.warnings.append(
+                    f"density loop hit iteration cap "
+                    f"(err {float(d.avg_density_error):.4g})"
+                )
+            if int(d.divergence_iterations) > self.solver.max_divergence_iterations:
+                self.warnings.append(
+                    f"divergence loop hit iteration cap "
+                    f"(err {float(d.avg_divergence):.4g})"
+                )
+        import math
+
+        if not (math.isfinite(float(d.avg_density_error))
+                and math.isfinite(float(d.avg_divergence))):
+            self.warnings.append("non-finite solver residual")
 
     def update(self):
         """One frame's worth of simulation steps (reference: main.rs:339-364)."""
