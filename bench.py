@@ -78,12 +78,9 @@ def main():
         )
         if os.environ.get("YASPH_BENCH_PALLAS") == "1":
             grid = dataclasses.replace(grid, use_pallas=True)
-        # the per-pair gradient cache is ~9P x slots x 8B; keep it off at 1M scale
-        cache_grads = grid.num_cells * grid.occupancy < 4_000_000
         solver = DFSPHDenseSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,
-            cache_loop_gradients=cache_grads,
         )
         boundary = world.boundary_dense(grid)
         _log(f"dense grid: {grid.nx}x{grid.ny} cells, occupancy {grid.occupancy}")

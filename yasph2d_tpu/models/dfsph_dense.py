@@ -114,10 +114,11 @@ class DFSPHDenseSolver:
     grid: DenseGridConfig
     step_config: StepConfig
     boundary_occupancy: int = 16
-    # Cache per-pair kernel gradients for the pressure loops: trades ~9P x slot-count
-    # x 8 bytes of HBM (0.8 GB at 100k particles, 8 GB at 1M -- disable there) for
-    # skipping gradient recomputation in every loop iteration.
-    cache_loop_gradients: bool = True
+    # Cache per-pair kernel gradients for the pressure loops (~9P x slot-count x 8
+    # bytes of HBM). Measured SLOWER than recomputation on the TPU at 100k particles
+    # (110 vs 87 ms/step): the cached path forgoes empty-block skipping and pays the
+    # cache traffic. Kept as an option; default off.
+    cache_loop_gradients: bool = False
     max_avg_density_error: float = 0.01 / 100.0
     max_density_iterations: int = 200
     max_divergence_error: float = 0.1 / 100.0
