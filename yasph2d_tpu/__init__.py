@@ -17,6 +17,26 @@ from .world import (
     GRAVITY,
 )
 from .ops.neighborhood import GridConfig
+from .ops.dense_grid import DenseGridConfig
 from .ops import smoothing_kernels
+from .config import SimulationConfig
+from .timemanager import AdaptiveTimeStep, FixedTimeStep, TimeManager, TimerConfig
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Solver classes import jax-heavy modules; resolve lazily.
+    lazy = {
+        "WCSPHSolver": ("yasph2d_tpu.models.wcsph", "WCSPHSolver"),
+        "WCSPHDenseSolver": ("yasph2d_tpu.models.wcsph_dense", "WCSPHDenseSolver"),
+        "DFSPHSolver": ("yasph2d_tpu.models.dfsph", "DFSPHSolver"),
+        "DFSPHDenseSolver": ("yasph2d_tpu.models.dfsph_dense", "DFSPHDenseSolver"),
+        "SimulationApp": ("yasph2d_tpu.app", "SimulationApp"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
