@@ -132,7 +132,8 @@ class SolverConfig:
     target_density_variation: float = 0.01
     expected_max_flow_speed: float = 1.0
     dense_occupancy: int = 8
-    dense_boundary_occupancy: int = 16
+    # None: fit the boundary slot axis to its exact max cell occupancy
+    dense_boundary_occupancy: Optional[int] = None
     dense_ny_multiple: int = 1
 
 

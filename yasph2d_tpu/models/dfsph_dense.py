@@ -59,8 +59,19 @@ class BoundaryDense(NamedTuple):
 
 
 def build_boundary_dense(
-    boundary_positions: jax.Array, grid: DenseGridConfig, occupancy: int
+    boundary_positions: jax.Array, grid: DenseGridConfig, occupancy=None
 ) -> BoundaryDense:
+    """Build the static index space. `occupancy=None` sizes the slot axis to the
+    boundary's TRUE maximum cell occupancy (static geometry, known exactly) — the
+    candidate axis of every fluid-vs-boundary pair pass scales with it, so a tight
+    fit beats a safe default."""
+    import numpy as np
+
+    keys_host = np.asarray(cell_keys(boundary_positions, grid))
+    if occupancy is None:
+        counts = np.bincount(keys_host) if keys_host.size else np.zeros(1, np.int64)
+        occupancy = max(int(counts.max()), 1)
+        occupancy += (-occupancy) % 2  # even: friendlier sublane tiling
     bgrid = dataclasses.replace(grid, occupancy=occupancy)
     keys = cell_keys(boundary_positions, bgrid)
     order = jnp.argsort(keys)
@@ -113,7 +124,7 @@ class DFSPHDenseSolver:
     properties: FluidProperties
     grid: DenseGridConfig
     step_config: StepConfig
-    boundary_occupancy: int = 16
+    boundary_occupancy: Optional[int] = None
     # Cache per-pair kernel gradients for the pressure loops (~9P x slot-count x 8
     # bytes of HBM). Measured SLOWER than recomputation on the TPU at 100k particles
     # (110 vs 87 ms/step): the cached path forgoes empty-block skipping and pays the

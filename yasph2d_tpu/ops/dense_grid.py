@@ -232,8 +232,16 @@ def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
     per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq), *scalar_args, *q_vals, *cand_vals)
 
     def reduce_leaf(leaf):
-        mask = valid if leaf.ndim == valid.ndim else valid[..., None]
-        return jnp.sum(jnp.where(mask, leaf, 0.0), axis=3)
+        if leaf.ndim == valid.ndim:
+            return jnp.sum(jnp.where(valid, leaf, 0.0), axis=3)
+        # Vector-valued pairs: reducing (B, nx, P, 9Ps, D) over the non-minor 9Ps
+        # axis measured ~3x slower than scalar reductions on the TPU; reduce each
+        # component as its own 4D minor-adjacent reduction and restack.
+        comps = [
+            jnp.sum(jnp.where(valid, leaf[..., d], 0.0), axis=3)
+            for d in range(leaf.shape[-1])
+        ]
+        return jnp.stack(comps, axis=-1)
 
     return jax.tree_util.tree_map(reduce_leaf, per_pair)
 
@@ -285,7 +293,14 @@ def cached_pair_reduce(fn, cache, source_values=(), query_values=()):
         v[:, :, :, None] if v.ndim == 3 else v[:, :, :, None, :] for v in query_values
     ]
     per_pair = fn(cache, *q_vals, *cand_vals)
-    return jax.tree_util.tree_map(lambda leaf: jnp.sum(leaf, axis=3), per_pair)
+
+    def reduce_leaf(leaf):
+        if leaf.ndim == 4:
+            return jnp.sum(leaf, axis=3)
+        comps = [jnp.sum(leaf[..., d], axis=3) for d in range(leaf.shape[-1])]
+        return jnp.stack(comps, axis=-1)
+
+    return jax.tree_util.tree_map(reduce_leaf, per_pair)
 
 
 def pair_reduce(
@@ -375,10 +390,10 @@ def pair_reduce(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), out_shape
             )
 
-        # Skip blocks with no live query slots: in typical scenes (a tank partially
-        # filled with fluid) a large fraction of cell rows is empty, and this prunes
-        # their pair work entirely (per-pair terms are zero for dead slots anyway).
-        return jax.lax.cond(jnp.any(q_m), run, skip, None)
+        # Skip blocks with no live query slots OR no live source slots in range: in
+        # typical scenes a large fraction of cell rows is empty, and for the
+        # fluid-vs-boundary pass most interior fluid blocks see no boundary at all.
+        return jax.lax.cond(jnp.any(q_m) & jnp.any(s_m), run, skip, None)
 
     out = jax.lax.map(body, jnp.arange(nb, dtype=jnp.int32))  # (nb, B, nx, P, ...)
 

@@ -269,8 +269,9 @@ class FluidParticleWorld:
             occupancy=occupancy,
         )
 
-    def boundary_dense(self, grid, occupancy: int = 16):
-        """Dense-layout static index space for the dense solver."""
+    def boundary_dense(self, grid, occupancy=None):
+        """Dense-layout static index space for the dense solver. None = size the
+        slot axis to the boundary's exact max cell occupancy (static geometry)."""
         from .models.dfsph_dense import build_boundary_dense
 
         boundary = jnp.asarray(self.host_boundary_positions(), dtype=REAL)
