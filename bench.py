@@ -78,6 +78,10 @@ def main():
         )
         if os.environ.get("YASPH_BENCH_PALLAS") == "1":
             grid = dataclasses.replace(grid, use_pallas=True)
+        if os.environ.get("YASPH_BENCH_ROW_BLOCK"):
+            grid = dataclasses.replace(
+                grid, row_block=int(os.environ["YASPH_BENCH_ROW_BLOCK"])
+            )
         solver = DFSPHDenseSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,
@@ -121,6 +125,10 @@ def main():
          f"({elapsed / num_steps * 1e3:.2f} ms/step)")
 
     assert bool(np.isfinite(np.asarray(carry.particles.positions)).all())
+    drops = int(diag.neighbor_drops)
+    _log(f"neighbor drops (last step): {drops}")
+    if drops:
+        _log("WARNING: occupancy overflow — physics degraded; raise occupancy")
     value = n * num_steps / elapsed
     print(
         json.dumps(
