@@ -167,3 +167,18 @@ def test_async_recorder_many_frames(tmp_path):
         loaded = np.asarray(Image.open(tmp_path / "rec" / f"{i}.png"))
         np.testing.assert_array_equal(loaded, imgs[i])
     assert rec.close() == 0
+
+
+def test_hud_text_and_overlay(tmp_path):
+    from yasph2d_tpu.app import SimulationApp, UpdateMode, default_world
+
+    world = default_world(particle_density=1600.0)
+    app = SimulationApp(solver="dfsph_dense", world=world, resolution=(200, 150),
+                        update_mode=UpdateMode.RECORDING,
+                        recording_dir=str(tmp_path / "r"))
+    app.show_hud = True
+    frames = app.run(2)
+    text = app.hud_text()
+    assert "steps/frame" in text and "dt:" in text and "simulated:" in text
+    # HUD pixels actually painted (white text on the frame)
+    assert (frames[-1] == 255).all(axis=-1).any()

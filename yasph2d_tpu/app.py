@@ -68,6 +68,18 @@ def default_world(particle_density: float = 10000.0) -> FluidParticleWorld:
     return world
 
 
+def _stamp_hud(image: np.ndarray, text: str) -> np.ndarray:
+    """Draw the HUD text block into the frame (PIL; no-op if PIL is missing)."""
+    try:
+        from PIL import Image, ImageDraw
+    except ImportError:  # pragma: no cover
+        return image
+    img = Image.fromarray(image)
+    draw = ImageDraw.Draw(img)
+    draw.multiline_text((8, 8), text, fill=(255, 255, 255))
+    return np.asarray(img)
+
+
 class SimulationApp:
     """Headless MainState (reference: main.rs:45-59, 301-401)."""
 
@@ -143,6 +155,7 @@ class SimulationApp:
             maxlen=SIMULATION_STEP_HISTORY_LENGTH
         )
         self.warnings = collections.deque(maxlen=100)
+        self.show_hud = False
         self.simulation_processing_time_total = 0.0
         self.simulation_is_realtime = True
         self.last_diagnostics = None
@@ -226,6 +239,29 @@ class SimulationApp:
                 self.simulation_is_realtime = False
                 break
 
+    def hud_text(self) -> str:
+        """The reference HUD (main.rs:198-237): frame processing time, steps per
+        frame, average step time over the history window, last dt, total simulated
+        vs processed time, and the REALTIME OFF banner."""
+        tm = self.time_manager
+        avg_step_ms = (
+            1e3 * sum(self.step_duration_history) / len(self.step_duration_history)
+            if self.step_duration_history else 0.0
+        )
+        lines = [
+            f"frame: {tm.duration_last_frame * 1e3:.2f}ms",
+            f"steps/frame: {tm.num_simulation_steps_this_frame}",
+            f"avg step: {avg_step_ms:.2f}ms (n={len(self.step_duration_history)})",
+            f"dt: {tm.simulation_step * 1e3:.3f}ms",
+            f"simulated: {tm.total_simulated_time:.3f}s "
+            f"(processing {self.simulation_processing_time_total:.2f}s)",
+        ]
+        if not self.simulation_is_realtime:
+            lines.append("REALTIME OFF")
+        if self.warnings:
+            lines.append(f"! {self.warnings[-1]}")
+        return "\n".join(lines)
+
     def draw(self) -> np.ndarray:
         """Read back particle state and rasterize one frame
         (reference: main.rs:366-400)."""
@@ -235,6 +271,8 @@ class SimulationApp:
             velocities=np.asarray(particles.velocities),
             boundary_positions=self._boundary_render_positions,
         )
+        if self.show_hud:
+            image = _stamp_hud(image, self.hud_text())
         if self.update_mode == UpdateMode.RECORDING:
             self.recorder.save_frame(self.time_manager.num_frames_rendered, image)
         self.time_manager.on_frame_presented(1.0)
