@@ -73,15 +73,16 @@ def main():
 
         import dataclasses
 
+        # occupancy 7 measured fastest with zero drops on this scene (see PERF.md);
+        # row_block 16 gives fine-grained empty-block skipping
         grid = world.dense_grid(
-            occupancy=int(os.environ.get("YASPH_BENCH_OCCUPANCY", 8))
+            occupancy=int(os.environ.get("YASPH_BENCH_OCCUPANCY", 7))
         )
         if os.environ.get("YASPH_BENCH_PALLAS") == "1":
             grid = dataclasses.replace(grid, use_pallas=True)
-        if os.environ.get("YASPH_BENCH_ROW_BLOCK"):
-            grid = dataclasses.replace(
-                grid, row_block=int(os.environ["YASPH_BENCH_ROW_BLOCK"])
-            )
+        grid = dataclasses.replace(
+            grid, row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", 16))
+        )
         solver = DFSPHDenseSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,

@@ -51,9 +51,10 @@ class DenseGridConfig:
     ny: int
     occupancy: int = 8  # P: max particles per cell (static)
     # Pair passes process this many cell rows at a time (lax.map): bounds the
-    # (rows, nx, P, 9P)-shaped temporaries to ~row_block/ny of the full size, which
-    # is what keeps 1M-particle grids inside HBM. None = single block.
-    row_block: int = 64
+    # (rows, nx, P, 9P)-shaped temporaries to ~row_block/ny of the full size (keeps
+    # 1M-particle grids inside HBM) and sets the granularity of empty-block skipping
+    # (16 measured ~15% faster than 64 at 100k). None = single block.
+    row_block: int = 16
     # Run pair passes through the Pallas TPU kernel (ops/pallas_pair.py) instead of
     # the XLA lax.map path. Same math, VMEM-resident windows.
     use_pallas: bool = False
