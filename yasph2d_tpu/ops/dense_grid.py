@@ -50,11 +50,13 @@ class DenseGridConfig:
     nx: int
     ny: int
     occupancy: int = 8  # P: max particles per cell (static)
-    # Pair passes process this many cell rows at a time (lax.map): bounds the
-    # (rows, nx, P, 9P)-shaped temporaries to ~row_block/ny of the full size (keeps
-    # 1M-particle grids inside HBM) and sets the granularity of empty-block skipping
-    # (16 measured ~15% faster than 64 at 100k). None = single block.
+    # Pair passes process (row_block x col_block) cell tiles at a time (lax.map):
+    # bounds per-pair temporaries (keeps 1M-particle grids inside HBM) and sets the
+    # granularity of empty-tile skipping — tiles with no live query or source slots
+    # are skipped with lax.cond. row_block 16 measured ~15% faster than 64 at 100k.
+    # None = no chunking along that axis.
     row_block: int = 16
+    col_block: int = None
     # Run pair passes through the Pallas TPU kernel (ops/pallas_pair.py) instead of
     # the XLA lax.map path. Same math, VMEM-resident windows.
     use_pallas: bool = False
@@ -196,23 +198,21 @@ def neighbor_windows(padded: jax.Array):
 
 def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
                        cand_vals_halo, grid: DenseGridConfig, scalar_args=()):
-    """One row-block pair reduction.
+    """One tile's pair reduction.
 
-    q_* / query_vals: (B, nx, P, ...) query rows; s_*_halo / cand_vals_halo:
-    (B+2, nx, Ps, ...) source rows including one halo row above and below.
+    q_* / query_vals: (B, C, P, ...) query tile; s_*_halo / cand_vals_halo:
+    (B+2, C+2, Ps, ...) source tile including a one-cell halo on every side.
     """
-    b = q_pos.shape[0]
+    b, c = q_pos.shape[0], q_pos.shape[1]
 
     def windows(halo):
-        # column-pad, then stack the 3x3 neighborhood along the candidate axis
-        zc = jnp.zeros_like(halo[:, :1])
-        full = jnp.concatenate([zc, halo, zc], axis=1)  # (B+2, nx+2, P, ...)
+        # stack the 3x3 neighborhood along the candidate axis (pure static slices)
         views = [
-            full[dy : dy + b, dx : dx + halo.shape[1]]
+            halo[dy : dy + b, dx : dx + c]
             for dy in range(3)
             for dx in range(3)
         ]
-        return jnp.concatenate(views, axis=2)  # (B, nx, 9P, ...)
+        return jnp.concatenate(views, axis=2)  # (B, C, 9P, ...)
 
     cand_pos = windows(s_pos_halo)
     cand_mask = windows(s_mask_halo)
@@ -320,57 +320,65 @@ def pair_reduce(
     (B, nx, 1, 9Ps[, D]). `fn` must NOT close over full-domain arrays — blocks only
     see their row slice.
 
-    The pass is chunked over `grid.row_block` cell rows via `lax.map`, so per-pair
-    temporaries never exceed ~(row_block+2, nx, P, 9Ps) regardless of domain size —
-    the 1M-particle grids would otherwise blow HBM on materialized pair tensors.
+    The pass is chunked over (row_block x col_block) cell tiles via `lax.map`, so
+    per-pair temporaries never exceed one tile's worth regardless of domain size —
+    1M-particle grids would otherwise blow HBM on materialized pair tensors — and
+    tiles with no live query or source slots are skipped entirely (lax.cond).
     """
-    ny = query_padded_pos.shape[0]
-    block = grid.row_block or ny
-    if ny <= block:
-        pad_rows = lambda a: jnp.concatenate(
-            [jnp.zeros_like(a[:1]), a, jnp.zeros_like(a[:1])], axis=0
-        )
+    ny, nx = query_padded_pos.shape[:2]
+    rb = grid.row_block or ny
+    cb = grid.col_block or nx
+
+    def halo2d(a):
+        zr = jnp.zeros_like(a[:1])
+        a = jnp.concatenate([zr, a, zr], axis=0)
+        zc = jnp.zeros_like(a[:, :1])
+        return jnp.concatenate([zc, a, zc], axis=1)
+
+    if ny <= rb and nx <= cb:
         return _pair_reduce_block(
             fn, query_padded_pos, query_mask, list(query_values),
-            pad_rows(source_padded_pos), pad_rows(source_mask),
-            [pad_rows(v) for v in source_values], grid, scalar_args,
+            halo2d(source_padded_pos), halo2d(source_mask),
+            [halo2d(v) for v in source_values], grid, scalar_args,
         )
 
-    nb = -(-ny // block)
-    ny_pad = nb * block
+    nbr = -(-ny // rb)
+    nbc = -(-nx // cb)
+    ny_pad, nx_pad = nbr * rb, nbc * cb
 
-    def pad_to(a, rows):
-        extra = rows - a.shape[0]
-        if extra == 0:
-            return a
-        return jnp.concatenate(
-            [a, jnp.zeros((extra,) + a.shape[1:], dtype=a.dtype)], axis=0
-        )
+    def pad2d(a):
+        er, ec = ny_pad - a.shape[0], nx_pad - a.shape[1]
+        if er:
+            a = jnp.concatenate(
+                [a, jnp.zeros((er,) + a.shape[1:], dtype=a.dtype)], axis=0
+            )
+        if ec:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], ec) + a.shape[2:], dtype=a.dtype)], axis=1
+            )
+        return a
 
-    q_pos = pad_to(query_padded_pos, ny_pad)
-    q_mask = pad_to(query_mask, ny_pad)
-    q_vals = [pad_to(v, ny_pad) for v in query_values]
-    # source arrays get one halo row on each side of the padded domain
-    s_pos = jnp.concatenate(
-        [jnp.zeros_like(source_padded_pos[:1]), pad_to(source_padded_pos, ny_pad),
-         jnp.zeros_like(source_padded_pos[:1])], axis=0)
-    s_mask = jnp.concatenate(
-        [jnp.zeros_like(source_mask[:1]), pad_to(source_mask, ny_pad),
-         jnp.zeros_like(source_mask[:1])], axis=0)
-    s_vals = [
-        jnp.concatenate([jnp.zeros_like(v[:1]), pad_to(v, ny_pad),
-                         jnp.zeros_like(v[:1])], axis=0)
-        for v in source_values
-    ]
+    q_pos = pad2d(query_padded_pos)
+    q_mask = pad2d(query_mask)
+    q_vals = [pad2d(v) for v in query_values]
+    s_pos = halo2d(pad2d(source_padded_pos))
+    s_mask = halo2d(pad2d(source_mask))
+    s_vals = [halo2d(pad2d(v)) for v in source_values]
 
-    def body(i):
-        r0 = i * block
-        q_p = jax.lax.dynamic_slice_in_dim(q_pos, r0, block, axis=0)
-        q_m = jax.lax.dynamic_slice_in_dim(q_mask, r0, block, axis=0)
-        q_v = [jax.lax.dynamic_slice_in_dim(v, r0, block, axis=0) for v in q_vals]
-        s_p = jax.lax.dynamic_slice_in_dim(s_pos, r0, block + 2, axis=0)
-        s_m = jax.lax.dynamic_slice_in_dim(s_mask, r0, block + 2, axis=0)
-        s_v = [jax.lax.dynamic_slice_in_dim(v, r0, block + 2, axis=0) for v in s_vals]
+    def slice2d(a, r0, c0, h, w):
+        starts = (r0, c0) + (0,) * (a.ndim - 2)
+        sizes = (h, w) + a.shape[2:]
+        return jax.lax.dynamic_slice(a, starts, sizes)
+
+    def body(k):
+        i, j = k // nbc, k % nbc
+        r0, c0 = i * rb, j * cb
+        q_p = slice2d(q_pos, r0, c0, rb, cb)
+        q_m = slice2d(q_mask, r0, c0, rb, cb)
+        q_v = [slice2d(v, r0, c0, rb, cb) for v in q_vals]
+        s_p = slice2d(s_pos, r0, c0, rb + 2, cb + 2)
+        s_m = slice2d(s_mask, r0, c0, rb + 2, cb + 2)
+        s_v = [slice2d(v, r0, c0, rb + 2, cb + 2) for v in s_vals]
 
         def run(_):
             return _pair_reduce_block(fn, q_p, q_m, q_v, s_p, s_m, s_v, grid,
@@ -382,15 +390,19 @@ def pair_reduce(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), out_shape
             )
 
-        # Skip blocks with no live query slots OR no live source slots in range: in
-        # typical scenes a large fraction of cell rows is empty, and for the
-        # fluid-vs-boundary pass most interior fluid blocks see no boundary at all.
+        # Skip tiles with no live query slots OR no live source slots in range: in
+        # typical scenes a large fraction of the domain is empty, and for the
+        # fluid-vs-boundary pass most interior fluid tiles see no boundary at all.
         return jax.lax.cond(jnp.any(q_m) & jnp.any(s_m), run, skip, None)
 
-    out = jax.lax.map(body, jnp.arange(nb, dtype=jnp.int32))  # (nb, B, nx, P, ...)
+    out = jax.lax.map(body, jnp.arange(nbr * nbc, dtype=jnp.int32))
 
     def unblock(leaf):
-        merged = leaf.reshape((ny_pad,) + leaf.shape[2:])
-        return merged[:ny]
+        # (nbr*nbc, rb, cb, ...) -> (ny, nx, ...)
+        tiles = leaf.reshape((nbr, nbc, rb, cb) + leaf.shape[3:])
+        merged = jnp.moveaxis(tiles, 1, 2).reshape(
+            (ny_pad, nx_pad) + leaf.shape[3:]
+        )
+        return merged[:ny, :nx]
 
     return jax.tree_util.tree_map(unblock, out)

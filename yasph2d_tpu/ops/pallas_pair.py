@@ -43,11 +43,11 @@ def _kernel(fn, grid: DenseGridConfig, n_sc, n_qv, n_sv, leaf_treedef, *refs):
     scalars = [refs[i][0, 0] for i in range(n_sc)]
     refs = refs[n_sc:]
     q_pos = refs[0][:]  # (B, nx, P, 2)
-    q_mask = refs[1][:]  # (B, nx, P)
+    q_mask = refs[1][:]  # (B, nx, P) f32 (Mosaic cannot shift/broadcast i1 vectors)
     q_vals = [refs[2 + i][:] for i in range(n_qv)]
     base = 2 + n_qv
     s_pos = refs[base][:]  # (B+2, nx, Ps, 2)
-    s_mask = refs[base + 1][:]
+    s_mask = refs[base + 1][:]  # f32
     s_vals = [refs[base + 2 + i][:] for i in range(n_sv)]
     out_refs = refs[base + 2 + n_sv :]
 
@@ -86,11 +86,10 @@ def _kernel(fn, grid: DenseGridConfig, n_sc, n_qv, n_sv, leaf_treedef, *refs):
 
             ri_to_rj = c_pos[:, :, None, :, :] - q_pos[:, :, :, None, :]
             r_sq = jnp.sum(ri_to_rj * ri_to_rj, axis=-1)  # (B, nx, P, Ps)
-            # Mosaic cannot broadcast-insert minor dims on i1 vectors, so masking is
-            # a float multiply: slot masks are cast before broadcasting, and the
+            # Masks arrive as f32 (Mosaic cannot shift/broadcast i1 vectors); the
             # radius window (already full-rank) selects via where.
-            qf = q_mask.astype(REAL)[:, :, :, None]
-            cf = c_mask.astype(REAL)[:, :, None, :]
+            qf = q_mask[:, :, :, None]
+            cf = c_mask[:, :, None, :]
             in_radius = (r_sq <= radius_sq) & (r_sq > min_d)
             valid_f = jnp.where(in_radius, qf * cf, 0.0)  # (B, nx, P, Ps)
 
@@ -144,7 +143,7 @@ def pallas_pair_reduce(
         )
 
     q_pos = pad_rows(query_padded_pos, ny_pad)
-    q_mask = pad_rows(query_mask, ny_pad)
+    q_mask = pad_rows(query_mask.astype(REAL), ny_pad)  # f32 masks for Mosaic
     q_vals = [pad_rows(v, ny_pad) for v in query_values]
 
     def halo(a):
@@ -154,7 +153,7 @@ def pallas_pair_reduce(
         )
 
     s_pos_b = _block_source(halo(source_padded_pos), nb, block)
-    s_mask_b = _block_source(halo(source_mask), nb, block)
+    s_mask_b = _block_source(halo(source_mask.astype(REAL)), nb, block)
     s_vals_b = [_block_source(halo(v), nb, block) for v in source_values]
 
     scalars_2d = [jnp.asarray(a, dtype=REAL).reshape(1, 1) for a in scalar_args]
@@ -166,14 +165,18 @@ def pallas_pair_reduce(
         return _pair_reduce_block(fn, q_p, q_m, list(q_v), s_p, s_m, list(s_v), grid,
                                   tuple(sc))
 
+    def col_halo(shape):
+        return (shape[0], shape[1] + 2) + shape[2:]
+
     out_shape_tree = jax.eval_shape(
         one_block,
         jax.ShapeDtypeStruct((block, nx, p, 2), REAL),
         jax.ShapeDtypeStruct((block, nx, p), jnp.bool_),
         [jax.ShapeDtypeStruct((block,) + v.shape[1:], v.dtype) for v in q_vals],
-        jax.ShapeDtypeStruct((block + 2, nx, ps, 2), REAL),
-        jax.ShapeDtypeStruct((block + 2, nx, ps), jnp.bool_),
-        [jax.ShapeDtypeStruct((block + 2,) + v.shape[2:], v.dtype) for v in s_vals_b],
+        jax.ShapeDtypeStruct(col_halo((block + 2, nx, ps, 2)), REAL),
+        jax.ShapeDtypeStruct(col_halo((block + 2, nx, ps)), jnp.bool_),
+        [jax.ShapeDtypeStruct(col_halo((block + 2,) + v.shape[2:]), v.dtype)
+         for v in s_vals_b],
         [jax.ShapeDtypeStruct((), REAL) for _ in scalars_2d],
     )
     out_leaves, out_treedef = jax.tree_util.tree_flatten(out_shape_tree)
