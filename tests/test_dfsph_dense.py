@@ -100,3 +100,27 @@ def test_dense_grid_covers_scene():
     assert g.contains((0.0, 0.0, 2.0, 2.5))
     h = world.properties.smoothing_length
     assert abs(g.cell_size - h) < 1e-9
+
+
+def test_dense_solver_without_boundary():
+    """Fluid-only scene (no boundary particles): the dense path must build and step
+    (regression: pad_to_slots crashed on an empty index space)."""
+    from yasph2d_tpu.world import FluidParticleWorld
+
+    world = FluidParticleWorld(2.0, 900.0, 100.0)
+    world.add_fluid_rect((0.0, 0.0, 0.3, 0.3), 0.01)
+    grid = world.dense_grid(occupancy=12, margin_cells=4)
+    _, dense, _ = (None, DFSPHDenseSolver(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties,
+        grid=grid,
+        step_config=FixedTimeStep(1.0 / 3000.0),
+    ), None)
+    boundary = world.boundary_dense(grid)
+    carry = dense.init_carry(world.initial_state(), boundary)
+    carry, diag = jax.jit(dense.simulate, static_argnums=2)(carry, boundary, 5)
+    assert np.isfinite(np.asarray(carry.particles.positions)).all()
+    # free-falling blob: densities clamp at rho0, no boundary drops
+    assert np.asarray(carry.particles.densities).min() >= 100.0

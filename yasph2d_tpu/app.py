@@ -94,7 +94,8 @@ class SimulationApp:
         self.world = world if world is not None else default_world()
         h = self.world.properties.smoothing_length
 
-        cfl_factor = {"wcsph": 0.2, "dfsph": 1.5, "dfsph_dense": 1.5}[solver]
+        cfl_factor = {"wcsph": 0.2, "wcsph_dense": 0.2,
+                      "dfsph": 1.5, "dfsph_dense": 1.5}[solver]
         step_config = AdaptiveTimeStep(
             timestep_max=1.0 / 120.0 / 3.0,  # main.rs:122
             timestep_min=1.0 / 60.0 / 400.0,  # main.rs:123
@@ -123,6 +124,16 @@ class SimulationApp:
 
             dense_grid = self.world.dense_grid(occupancy=8)
             self.solver = DFSPHDenseSolver(
+                viscosity_model=viscosity,
+                properties=self.world.properties,
+                grid=dense_grid,
+                step_config=step_config,
+            )
+        elif solver == "wcsph_dense":
+            from .models.wcsph_dense import WCSPHDenseSolver
+
+            dense_grid = self.world.dense_grid(occupancy=8)
+            self.solver = WCSPHDenseSolver(
                 viscosity_model=viscosity,
                 properties=self.world.properties,
                 grid=dense_grid,
@@ -161,7 +172,7 @@ class SimulationApp:
         self.last_diagnostics = None
 
         self._jitted_step = jax.jit(self.solver.step, donate_argnums=0)
-        if solver == "dfsph_dense":
+        if solver in ("dfsph_dense", "wcsph_dense"):
             self.boundary = self.world.boundary_dense(self.solver.grid)
         else:
             self.boundary = self.world.boundary_grid()
@@ -173,7 +184,7 @@ class SimulationApp:
         state = self.world.initial_state()
         if self.solver_name in ("dfsph", "dfsph_dense"):
             self.carry = self.solver.init_carry(state, self.boundary)
-        else:
+        else:  # wcsph variants carry no boundary-dependent warm state
             self.carry = self.solver.init_carry(state)
         self.carry = self.carry._replace(time=self.time_manager.time_state)
 

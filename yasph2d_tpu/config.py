@@ -304,7 +304,6 @@ class SimulationConfig:
                 properties=world.properties,
                 grid=grid,
                 step_config=step_config,
-                boundary_occupancy=sc.dense_boundary_occupancy,
                 max_avg_density_error=sc.max_avg_density_error,
                 max_density_iterations=sc.max_density_iterations,
                 max_divergence_error=sc.max_divergence_error,

@@ -37,6 +37,7 @@ from ..ops.dense_grid import (
     cached_pair_reduce,
     cell_keys,
     pad_to_slots,
+    sort_by_dense_keys,
     pair_map,
     pair_reduce,
     slots_to_sorted,
@@ -124,7 +125,6 @@ class DFSPHDenseSolver:
     properties: FluidProperties
     grid: DenseGridConfig
     step_config: StepConfig
-    boundary_occupancy: Optional[int] = None
     # Cache per-pair kernel gradients for the pressure loops (~9P x slot-count x 8
     # bytes of HBM). Measured SLOWER than recomputation on the TPU at 100k particles
     # (110 vs 87 ms/step): the cached path forgoes empty-block skipping and pays the
@@ -156,12 +156,7 @@ class DFSPHDenseSolver:
     # ------------------------------------------------------------------ layout
 
     def _sort(self, pytree, positions):
-        keys = cell_keys(positions, self.grid)
-        n = positions.shape[0]
-        sorted_keys, perm = jax.lax.sort(
-            (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-        )
-        return jax.tree_util.tree_map(lambda a: a[perm], pytree), sorted_keys
+        return sort_by_dense_keys(pytree, positions, self.grid)
 
     def _ctx(self, sorted_positions, sorted_keys, boundary: BoundaryDense) -> DenseCtx:
         """Build the per-rebuild context with exactly two pair passes.

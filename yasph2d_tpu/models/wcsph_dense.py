@@ -5,8 +5,8 @@ src/sph/solver/wscsph.rs — see that module for the step-by-step mapping): leap
 Tait EOS gamma=7, symmetric pressure force with the Spiky kernel, Poly6 density
 kernel, pluggable viscosity, Monaghan-Kajtar boundary penalty. Data layout and pair
 machinery are shared with the dense DFSPH solver (ops/dense_grid.py): all pair work
-is two fused window passes per step (one against fluid for density+alpha... here
-density only, one combined force pass), no gathers or scatters.
+is three fused window passes per step (fluid density; boundary density + penalty
+force in one pass; fluid pressure + viscosity forces), no gathers or scatters.
 
 Unlike DFSPH there are no pressure loops, so a WCSPH step is: half-kick + drift,
 sort + slot rebuild, density pass, force pass, CFL, second half-kick with the NEW dt
@@ -23,10 +23,10 @@ from ..units import REAL
 from ..ops.dense_grid import (
     DenseGridConfig,
     build_slot_grid,
-    cell_keys,
     pad_to_slots,
     pair_reduce,
     slots_to_sorted,
+    sort_by_dense_keys,
 )
 from ..ops.smoothing_kernels import Poly6, Spiky
 from ..timemanager import StepConfig, TimeState, update_simulation_step
@@ -68,6 +68,17 @@ class WCSPHDenseSolver:
             ),
         )
         assert abs(self.grid.cell_size - h) < 1e-12
+        if self.grid.use_pallas:
+            from functools import partial
+
+            from ..ops.pallas_pair import pallas_pair_reduce
+
+            object.__setattr__(
+                self, "_reduce",
+                partial(pallas_pair_reduce, block_rows=self.grid.pallas_block_rows),
+            )
+        else:
+            object.__setattr__(self, "_reduce", pair_reduce)
 
     def init_carry(self, state: ParticleState) -> WCSPHDenseCarry:
         """Zero cached accelerations (clear_cached_data, wscsph.rs:122-124)."""
@@ -78,12 +89,7 @@ class WCSPHDenseSolver:
         )
 
     def _sort(self, pytree, positions):
-        keys = cell_keys(positions, self.grid)
-        n = positions.shape[0]
-        sorted_keys, perm = jax.lax.sort(
-            (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1
-        )
-        return jax.tree_util.tree_map(lambda a: a[perm], pytree), sorted_keys
+        return sort_by_dense_keys(pytree, positions, self.grid)
 
     def step(self, carry: WCSPHDenseCarry, boundary: BoundaryDense):
         """One simulation step (reference: wscsph.rs:126-179)."""
@@ -106,11 +112,23 @@ class WCSPHDenseSolver:
         mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
 
         # density pass (Poly6, self-contribution, clamp; fluidparticleworld.rs:197-231)
+        # The boundary pass also emits the Monaghan-Kajtar penalty force
+        # (wscsph.rs:108-116) — both are position-only, ONE window pass suffices.
         w = lambda ri, r_sq, r: self.density_kernel.evaluate(r_sq, r)
-        dyn_w = pair_reduce(w, pos_pad, mask, pos_pad, mask, g)
-        stat_w = pair_reduce(w, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
+        dyn_w = self._reduce(w, pos_pad, mask, pos_pad, mask, g)
+
+        def stat_terms(ri_to_rj, r_sq, r):
+            w_b = self.pressure_kernel.evaluate(r_sq, r)
+            c = -self.boundary_force_factor * w_b / r_sq
+            return {
+                "w": self.density_kernel.evaluate(r_sq, r),
+                "force": c[..., None] * ri_to_rj,
+            }
+
+        stat = self._reduce(stat_terms, pos_pad, mask, boundary.pos_pad,
+                            boundary.mask, g)
         zero = jnp.zeros((), dtype=REAL)
-        dens_pad = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat_w)
+        dens_pad = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat["w"])
         dens_pad = jnp.maximum(dens_pad, jnp.asarray(rho0, REAL))
         densities = slots_to_sorted(dens_pad, slots, g, fallback=jnp.asarray(rho0, REAL))
 
@@ -126,21 +144,12 @@ class WCSPHDenseSolver:
                 dt_s, r_sq, r, m, rho_j, v_j - v_i
             )
 
-        accel_pad = pair_reduce(
+        accel_pad = self._reduce(
             dyn_forces, pos_pad, mask, pos_pad, mask, g,
             source_values=(pres_pad, dens_pad, v_pad),
             query_values=(pres_pad, dens_pad, v_pad),
             scalar_args=(dt,),
-        )
-
-        def boundary_force(ri_to_rj, r_sq, r):
-            w_b = self.pressure_kernel.evaluate(r_sq, r)
-            c = -self.boundary_force_factor * w_b / r_sq
-            return c[..., None] * ri_to_rj
-
-        accel_pad = accel_pad + pair_reduce(
-            boundary_force, pos_pad, mask, boundary.pos_pad, boundary.mask, g
-        )
+        ) + stat["force"]
         accel = slots_to_sorted(accel_pad, slots, g) + jnp.asarray(
             self.gravity, dtype=REAL
         )[None, :]

@@ -151,11 +151,29 @@ def build_slot_grid(sorted_keys: jax.Array, grid: DenseGridConfig) -> SlotGrid:
     )
 
 
+def sort_by_dense_keys(pytree, positions: jax.Array, grid: DenseGridConfig):
+    """Sort a particle-attribute pytree into dense cell-key order.
+
+    Shared by the dense solvers; same identity-instability contract as
+    world.sort_particles. Returns (sorted_pytree, sorted_keys)."""
+    keys = cell_keys(positions, grid)
+    n = positions.shape[0]
+    sorted_keys, perm = jax.lax.sort(
+        (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    return jax.tree_util.tree_map(lambda a: a[perm], pytree), sorted_keys
+
+
 def pad_to_slots(values: jax.Array, slots: SlotGrid, grid: DenseGridConfig):
     """Sorted per-particle values (N, ...) -> padded (ny, nx, P, ...); masked slots
-    hold the value at a clamped index (callers must mask)."""
+    hold the value at a clamped index (callers must mask). An empty index space
+    (N == 0, e.g. a scene without boundary particles) yields zeros — its slot mask
+    is all-false so the values never matter."""
+    shape = (grid.ny, grid.nx, grid.occupancy) + values.shape[1:]
+    if values.shape[0] == 0:
+        return jnp.zeros(shape, dtype=values.dtype)
     padded = values[slots.slot_idx]  # (C, P, ...)
-    return padded.reshape((grid.ny, grid.nx, grid.occupancy) + values.shape[1:])
+    return padded.reshape(shape)
 
 
 def slots_to_sorted(padded: jax.Array, slots: SlotGrid, grid: DenseGridConfig,
