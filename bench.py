@@ -1,15 +1,26 @@
 """Whole-step benchmark: DFSPH particle-steps/sec on the real device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+`value` is the 100k-particle result (BASELINE.json config 4); `extra.sizes` carries
+the full BASELINE.md matrix — particle-steps/sec at 10k / 100k / 1M plus the DFSPH
+iterations-to-tolerance (mean density / divergence loop iterations per step) and
+the across-ALL-steps neighbor-drop count (must be 0; physics is degraded otherwise).
 
-Scene: 100k-particle double dam-break with a static obstacle (BASELINE.json config 4).
-The reference publishes no numbers (BASELINE.md), so `vs_baseline` is reported against
-the BASELINE.json north-star target of 1e9 particle-steps/sec (value / 1e9).
+Scene: double dam-break with a static obstacle, scaled to each target size.
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is reported
+against the BASELINE.json north-star target of 1e9 particle-steps/sec (value/1e9).
 
-Env knobs: YASPH_BENCH_PARTICLES (approx fluid count, default 100_000),
-YASPH_BENCH_STEPS (timed steps, default 100).
+Env knobs:
+  YASPH_BENCH_SIZES      comma list of approx fluid counts (default 10000,100000,1000000)
+  YASPH_BENCH_STEPS      timed steps per size (default 100)
+  YASPH_BENCH_BACKEND    dense | table (default dense)
+  YASPH_BENCH_OCCUPANCY  dense slot occupancy (default 7, see PERF.md)
+  YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default 16)
+  YASPH_BENCH_PAIR_DTYPE float32 | bfloat16 (default per PERF.md measurements)
+  YASPH_BENCH_PALLAS     1 = run pair passes through the Pallas kernel
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -26,12 +37,13 @@ compile_cache.enable()
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-from yasph2d_tpu.models.dfsph import DFSPHSolver
+
 from yasph2d_tpu.models.viscosity import XSPHViscosityModel
 from yasph2d_tpu.timemanager import AdaptiveTimeStep
 from yasph2d_tpu.world import FluidParticleWorld
 
 NORTH_STAR_PARTICLE_STEPS_PER_SEC = 1.0e9
+DEFAULT_PAIR_DTYPE = "float32"  # updated by PERF.md measurements
 
 
 def double_dam_break(target_particles: int) -> FluidParticleWorld:
@@ -56,11 +68,7 @@ def double_dam_break(target_particles: int) -> FluidParticleWorld:
     return world
 
 
-def main():
-    target = int(os.environ.get("YASPH_BENCH_PARTICLES", 100_000))
-    num_steps = int(os.environ.get("YASPH_BENCH_STEPS", 100))
-    backend = os.environ.get("YASPH_BENCH_BACKEND", "dense")  # dense | table
-
+def bench_one(target: int, num_steps: int, backend: str) -> dict:
     world = double_dam_break(target)
     step_config = AdaptiveTimeStep(
         timestep_max=1.0 / 360.0, timestep_min=1.0 / 24000.0, cfl_factor=1.5
@@ -71,25 +79,27 @@ def main():
     if backend == "dense":
         from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
 
-        import dataclasses
-
         # occupancy 7 measured fastest with zero drops on this scene (see PERF.md);
         # row_block 16 gives fine-grained empty-block skipping
         grid = world.dense_grid(
             occupancy=int(os.environ.get("YASPH_BENCH_OCCUPANCY", 7))
         )
-        if os.environ.get("YASPH_BENCH_PALLAS") == "1":
-            grid = dataclasses.replace(grid, use_pallas=True)
         grid = dataclasses.replace(
-            grid, row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", 16))
+            grid,
+            row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", 16)),
+            use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
+            pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
         )
         solver = DFSPHDenseSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,
         )
         boundary = world.boundary_dense(grid)
-        _log(f"dense grid: {grid.nx}x{grid.ny} cells, occupancy {grid.occupancy}")
+        _log(f"dense grid: {grid.nx}x{grid.ny} cells, occupancy {grid.occupancy}, "
+             f"pair_dtype {grid.pair_dtype}")
     else:
+        from yasph2d_tpu.models.dfsph import DFSPHSolver
+
         solver = DFSPHSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=world.grid, step_config=step_config,
@@ -114,9 +124,11 @@ def main():
     _log(f"compile + first {chunk} steps: {time.perf_counter() - t0:.1f}s")
 
     num_chunks = max(1, num_steps // chunk)
+    diags = []
     t0 = time.perf_counter()
     for _ in range(num_chunks):
         carry, diag = simulate(carry, boundary, chunk)
+        diags.append(diag)
     # block_until_ready does not reliably block on the experimental remote platform;
     # a host transfer of a scalar from the final carry forces full completion.
     _ = float(carry.time.total_simulated_time)
@@ -126,21 +138,55 @@ def main():
          f"({elapsed / num_steps * 1e3:.2f} ms/step)")
 
     assert bool(np.isfinite(np.asarray(carry.particles.positions)).all())
-    drops = int(diag.neighbor_drops)
-    _log(f"neighbor drops (last step): {drops}")
-    if drops:
-        _log("WARNING: occupancy overflow — physics degraded; raise occupancy")
-    value = n * num_steps / elapsed
+    # Diagnostics aggregate across each chunk's steps (Diagnostics.accumulate):
+    # drops are per-chunk maxima, iteration counts per-chunk sums.
+    drops = max(int(d.neighbor_drops) for d in diags)
+    density_iters = sum(int(d.density_iterations) for d in diags) / num_steps
+    divergence_iters = sum(int(d.divergence_iterations) for d in diags) / num_steps
+    _log(f"neighbor drops (max over ALL steps): {drops}")
+    _log(f"iterations/step: density {density_iters:.2f}, "
+         f"divergence {divergence_iters:.2f}")
+    assert drops == 0, "occupancy overflow — physics degraded; raise occupancy"
+    return {
+        "particles": n,
+        "particle_steps_per_sec": n * num_steps / elapsed,
+        "ms_per_step": elapsed / num_steps * 1e3,
+        "density_iterations_per_step": density_iters,
+        "divergence_iterations_per_step": divergence_iters,
+        "neighbor_drops": drops,
+    }
+
+
+def main():
+    sizes = [
+        int(s)
+        for s in os.environ.get(
+            "YASPH_BENCH_SIZES", "10000,100000,1000000"
+        ).split(",")
+    ]
+    num_steps = int(os.environ.get("YASPH_BENCH_STEPS", 100))
+    backend = os.environ.get("YASPH_BENCH_BACKEND", "dense")  # dense | table
+
+    results = {}
+    for target in sizes:
+        _log(f"=== size {target} ===")
+        results[str(target)] = bench_one(target, num_steps, backend)
+
+    # headline: 100k (BASELINE.json config 4) if present, else the largest size run
+    headline_key = "100000" if "100000" in results else str(sizes[-1])
+    headline = results[headline_key]
+    value = headline["particle_steps_per_sec"]
     print(
         json.dumps(
             {
                 "metric": (
-                    f"DFSPH particle-steps/sec ({n} particles, double dam-break, "
-                    f"{backend} backend)"
+                    f"DFSPH particle-steps/sec ({headline['particles']} particles, "
+                    f"double dam-break, {backend} backend)"
                 ),
                 "value": value,
                 "unit": "particle-steps/sec",
                 "vs_baseline": value / NORTH_STAR_PARTICLE_STEPS_PER_SEC,
+                "extra": {"sizes": results},
             }
         )
     )

@@ -24,6 +24,7 @@ def make_solver(world):
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_resume(tmp_path):
     world = small_dam_break(particle_density=900.0)
     solver = make_solver(world)

@@ -53,6 +53,7 @@ def test_build_and_step_each_solver(kind):
     assert np.isfinite(pos).all()
 
 
+@pytest.mark.slow
 def test_physical_viscosity_and_adaptive():
     cfg = SimulationConfig(
         fluid=FluidConfig(particle_density=1600.0),

@@ -6,6 +6,7 @@ warm-start bookkeeping.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +40,7 @@ def run_steps(solver, world, n):
     return simulate(carry, boundary, n)
 
 
+@pytest.mark.slow
 def test_dam_break_stability_and_convergence():
     world = small_dam_break()
     solver = make_solver(world)
@@ -55,13 +57,23 @@ def test_dam_break_stability_and_convergence():
     assert rho.min() >= 100.0
     assert rho.max() < 110.0, f"over-compressed: {rho.max()}"
 
-    dt = float(diag.dt)
-    # last-step residuals met their tolerances (or the caps kicked in - they must not)
-    assert int(diag.density_iterations) <= solver.max_density_iterations
-    assert int(diag.divergence_iterations) <= solver.max_divergence_iterations
-    assert float(diag.avg_density_error) / 100.0 * dt < solver.max_avg_density_error
-    assert float(diag.avg_divergence) * dt < solver.max_divergence_error
-    assert int(diag.neighbor_drops) == 0
+    # diag aggregates across all 200 steps: iteration counts are sums, drops and
+    # residuals are per-step maxima (Diagnostics.accumulate)
+    assert int(diag.density_iterations) <= 200 * solver.max_density_iterations
+    assert int(diag.divergence_iterations) <= 200 * solver.max_divergence_iterations
+    assert int(diag.neighbor_drops) == 0  # across ALL steps now, not just the last
+
+    # last-step residuals met their tolerances (one explicit extra step)
+    carry = carry._replace(time=carry.time.account_step())
+    _, step_diag = jax.jit(solver.step)(carry, world.boundary_grid())
+    dt = float(step_diag.dt)
+    assert int(step_diag.density_iterations) <= solver.max_density_iterations
+    assert int(step_diag.divergence_iterations) <= solver.max_divergence_iterations
+    assert (
+        float(step_diag.avg_density_error) / 100.0 * dt
+        < solver.max_avg_density_error
+    )
+    assert float(step_diag.avg_divergence) * dt < solver.max_divergence_error
     # the dam has collapsed (rect bottom started at y=0.7)
     assert pos[:, 1].min() < 0.65
 
@@ -78,6 +90,7 @@ def test_warmstart_gating_counts():
     assert np.isfinite(np.asarray(carry.warmstart_stiffness)).all()
 
 
+@pytest.mark.slow
 def test_resting_fluid_stays_at_rest_density():
     """A settled pool: densities within the density-error tolerance of rho0 and small
     velocities (regression for residual trajectories, SURVEY.md section 4 gaps)."""
@@ -114,6 +127,7 @@ def test_physical_viscosity_model_runs():
     assert np.isfinite(np.asarray(carry.particles.velocities)).all()
 
 
+@pytest.mark.slow
 def test_fixed_timestep_deterministic():
     world = small_dam_break(particle_density=900.0)
     solver = make_solver(world, step_config=FixedTimeStep(1.0 / 3000.0))

@@ -40,6 +40,7 @@ def sorted_rows(a):
     return a[np.lexsort(a.T)]
 
 
+@pytest.mark.slow
 def test_dense_matches_table_short_horizon():
     world = small_dam_break(particle_density=1600.0)
     table, dense, dense_grid = make_pair(world, FixedTimeStep(1.0 / 3000.0))
@@ -76,6 +77,7 @@ def test_dense_matches_table_short_horizon():
     assert int(tdiag.divergence_iterations) == int(ddiag.divergence_iterations)
 
 
+@pytest.mark.slow
 def test_dense_long_run_stable_and_incompressible():
     world = small_dam_break(particle_density=1600.0)
     _, dense, dense_grid = make_pair(
@@ -102,6 +104,7 @@ def test_dense_grid_covers_scene():
     assert abs(g.cell_size - h) < 1e-9
 
 
+@pytest.mark.slow
 def test_dense_solver_without_boundary():
     """Fluid-only scene (no boundary particles): the dense path must build and step
     (regression: pad_to_slots crashed on an empty index space)."""

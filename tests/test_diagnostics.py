@@ -1,0 +1,168 @@
+"""Diagnostics aggregation across simulate() + padding-particle neutrality.
+
+The reference accounts neighbor overflow per update (neighborhood_search.rs:361)
+and prints solver-health warnings every step (dfsph.rs:236-245); a fori_loop that
+only returns the LAST step's diagnostics would silently discard a transient
+mid-run problem. These tests pin that `simulate()` aggregates:
+- a cell overflow that happens only in the middle of a run is visible in the result;
+- dead padding particles (parallel/sharding.py) leave dt, residuals, and physics
+  bit-for-bit untouched at any run length.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
+from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+from yasph2d_tpu.timemanager import AdaptiveTimeStep, FixedTimeStep
+from yasph2d_tpu.utils.diagnostics import Diagnostics
+from yasph2d_tpu.world import FluidParticleWorld, ParticleState
+
+from test_wcsph import small_dam_break
+
+
+def test_accumulate_semantics():
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    i = lambda v: jnp.asarray(v, jnp.int32)
+    a = Diagnostics(dt=f(1.0), max_velocity=f(2.0), neighbor_drops=i(3),
+                    density_iterations=i(4), divergence_iterations=i(5),
+                    avg_density_error=f(0.5), avg_divergence=f(0.25),
+                    migration_drops=i(1))
+    b = Diagnostics(dt=f(9.0), max_velocity=f(1.0), neighbor_drops=i(0),
+                    density_iterations=i(2), divergence_iterations=i(1),
+                    avg_density_error=f(0.75), avg_divergence=f(0.125),
+                    migration_drops=i(0))
+    agg = a.accumulate(b)
+    assert float(agg.dt) == 9.0  # last
+    assert float(agg.max_velocity) == 2.0  # max
+    assert int(agg.neighbor_drops) == 3  # max
+    assert int(agg.density_iterations) == 6  # sum
+    assert int(agg.divergence_iterations) == 6  # sum
+    assert float(agg.avg_density_error) == 0.75  # max
+    assert float(agg.avg_divergence) == 0.25  # max
+    assert int(agg.migration_drops) == 1  # max
+
+
+def _cluster_solver():
+    """8 particles packed into ONE cell with outward radial velocities, occupancy 6:
+    the first steps overflow the cell (2 drops), later steps don't — a transient
+    mid-run overflow that a last-step-only report would miss."""
+    world = FluidParticleWorld(2.0, 1600.0, 100.0)
+    world.add_fluid_rect((0.4, 0.4, 0.2, 0.2), 0.0)  # just for grid sizing
+    grid = world.dense_grid(occupancy=6, margin_cells=6)
+    h = world.properties.smoothing_length
+
+    # cluster at an exact CELL CENTER (so all 8 share one cell), spread < h/10
+    gx = int((0.5 - grid.origin[0]) / h)
+    gy = int((0.5 - grid.origin[1]) / h)
+    center = np.asarray(
+        [grid.origin[0] + (gx + 0.5) * h, grid.origin[1] + (gy + 0.5) * h],
+        dtype=np.float32,
+    )
+    angles = np.linspace(0.0, 2 * np.pi, 8, endpoint=False).astype(np.float32)
+    radial = np.stack([np.cos(angles), np.sin(angles)], axis=-1)
+    positions = center[None, :] + radial * (h / 20.0)
+    velocities = radial * 1.0  # 1 m/s outward
+
+    state = ParticleState(
+        positions=jnp.asarray(positions),
+        velocities=jnp.asarray(velocities),
+        densities=jnp.zeros((8,), jnp.float32),
+        alive=jnp.ones((8,), bool),
+    )
+    solver = DFSPHDenseSolver(
+        viscosity_model=XSPHViscosityModel(smoothing_length=h),
+        properties=world.properties,
+        grid=grid,
+        step_config=FixedTimeStep(1.0 / 100.0),
+        max_density_iterations=5,
+        max_divergence_iterations=5,
+    )
+    return solver, state, world.boundary_dense(grid)
+
+
+def test_midrun_overflow_is_reported_by_simulate():
+    solver, state, boundary = _cluster_solver()
+    carry = solver.init_carry(state, boundary)
+    simulate = jax.jit(solver.simulate, static_argnums=2)
+
+    carry, agg = simulate(carry, boundary, 12)
+    assert int(agg.neighbor_drops) > 0, "mid-run overflow must surface in aggregate"
+
+    # by now the cluster has dispersed: one further step has NO drops, so a
+    # last-step-only report would have hidden the event entirely
+    carry2 = carry._replace(time=carry.time.account_step())
+    _, last = jax.jit(solver.step)(carry2, boundary)
+    assert int(last.neighbor_drops) == 0
+
+
+@pytest.mark.slow
+def test_padding_particles_do_not_change_dt_or_physics():
+    """Dead padding (sentinel cell keys, frozen, masked out of CFL and residuals)
+    must leave the trajectory and adaptive dt identical over a long run
+    (VERDICT round 1: padded runs' dt decayed toward timestep_min)."""
+    from yasph2d_tpu.parallel.sharding import pad_particles_dense
+
+    # settled pool: dt stays far from timestep_min for the whole run (the dam-break
+    # scene leaks a few particles over 500 steps, which legitimately decays dt in
+    # BOTH runs and would make the no-decay assertion vacuous)
+    world = FluidParticleWorld(2.0, 900.0, 100.0)
+    world.add_fluid_rect((0.0, 0.02, 1.0, 0.15), 0.01)
+    world.add_boundary_thick_line((-0.2, 0.0), (1.2, 0.0), 3)
+    world.add_boundary_thick_line((0.0, 0.5), (0.0, 0.0), 3)
+    world.add_boundary_thick_line((1.0, 0.0), (1.0, 0.5), 3)
+    grid = world.dense_grid(occupancy=12)
+    h = world.properties.smoothing_length
+    solver = DFSPHDenseSolver(
+        viscosity_model=XSPHViscosityModel(smoothing_length=h),
+        properties=world.properties,
+        grid=grid,
+        step_config=AdaptiveTimeStep(1 / 360, 1 / 24000, cfl_factor=1.5),
+    )
+    boundary = world.boundary_dense(grid)
+
+    state = world.initial_state()
+    n = state.positions.shape[0]
+    multiple = n + 37  # force 37 padding particles
+    padded = pad_particles_dense(state, multiple, grid)
+    assert padded.positions.shape[0] == multiple
+
+    simulate = jax.jit(solver.simulate, static_argnums=2)
+    c_ref, d_ref = simulate(solver.init_carry(state, boundary), boundary, 500)
+    c_pad, d_pad = simulate(solver.init_carry(padded, boundary), boundary, 500)
+
+    # adaptive dt trajectory identical (no CFL inflation from free-falling padding)
+    np.testing.assert_allclose(
+        float(c_ref.time.total_simulated_time),
+        float(c_pad.time.total_simulated_time), rtol=1e-6,
+    )
+    np.testing.assert_allclose(float(d_ref.dt), float(d_pad.dt), rtol=1e-6)
+    # a settled pool runs at (or very near) timestep_max; free-falling padding
+    # would have dragged this down (v_max ~ 9.81 * t after ~1.4 simulated seconds)
+    assert float(c_pad.time.dt) > 0.9 * (1.0 / 360.0), "dt decayed"
+
+    def sorted_rows(a):
+        a = np.asarray(a)
+        return a[np.lexsort(a.T)]
+
+    # dead particles are frozen: same park positions (as a set), zero velocity
+    alive = np.asarray(c_pad.particles.alive)
+    assert alive.sum() == n
+    np.testing.assert_array_equal(
+        sorted_rows(np.asarray(c_pad.particles.positions)[~alive]),
+        sorted_rows(np.asarray(padded.positions)[n:]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_pad.particles.velocities)[~alive], 0.0, atol=0.0
+    )
+
+    # live-particle physics identical
+    np.testing.assert_allclose(
+        sorted_rows(c_ref.particles.positions),
+        sorted_rows(np.asarray(c_pad.particles.positions)[alive]),
+        atol=1e-5,
+    )

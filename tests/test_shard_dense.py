@@ -1,0 +1,148 @@
+"""shard_map spatial decomposition (parallel/shard_dense.py) on the 8-device
+virtual CPU mesh.
+
+Pins the three claims that distinguish "compiles multi-chip" from "scales
+multi-chip" (VERDICT round 1):
+- physics parity with the single-device dense solver (same scene, fixed dt);
+- particles migrate between shards without loss (global live count conserved,
+  migration_drops == 0 with adequate slack);
+- the compiled step moves data between shards ONLY via collective-permute halo
+  exchanges / bounded migration buffers and small all-reduces — NO all-gather
+  (the round-1 pjit path's global sort forced one every step).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
+from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+from yasph2d_tpu.parallel.shard_dense import (
+    ShardedDFSPHDense,
+    make_local_grid,
+    make_space_mesh,
+)
+from yasph2d_tpu.timemanager import FixedTimeStep
+from yasph2d_tpu.world import FluidParticleWorld
+
+from test_wcsph import small_dam_break
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_space_mesh(jax.devices()[:8])
+
+
+def _build(mesh, num_steps_cfg=None):
+    world = small_dam_break(particle_density=1600.0)
+    full_grid = world.dense_grid(occupancy=12, ny_multiple=8)
+    h = world.properties.smoothing_length
+    visc = XSPHViscosityModel(smoothing_length=h)
+    cfg = num_steps_cfg or FixedTimeStep(1.0 / 3000.0)
+    sharded = ShardedDFSPHDense(
+        viscosity_model=visc, properties=world.properties, full_grid=full_grid,
+        step_config=cfg, mesh=mesh,
+    )
+    single = DFSPHDenseSolver(
+        viscosity_model=visc, properties=world.properties, grid=full_grid,
+        step_config=cfg,
+    )
+    return world, full_grid, sharded, single
+
+
+def sorted_rows(a):
+    a = np.asarray(a)
+    return a[np.lexsort(a.T)]
+
+
+def test_sharded_matches_single_device(mesh):
+    world, full_grid, sharded, single = _build(mesh)
+    boundary = world.boundary_dense(full_grid)
+    state = world.initial_state()
+    n_real = state.positions.shape[0]
+
+    s_carry, s_boundary = sharded.init(state, boundary)
+    c_single = single.init_carry(state, boundary)
+
+    # initial densities agree (same math, different partial-sum partitioning)
+    alive0 = np.asarray(s_carry.particles.alive)
+    assert alive0.sum() == n_real
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s_carry.particles.densities)[alive0]),
+        np.sort(np.asarray(c_single.particles.densities)), rtol=1e-5, atol=1e-2,
+    )
+
+    s_carry, s_diag = sharded.simulate(s_carry, s_boundary, 10)
+    c_single, diag = jax.jit(single.simulate, static_argnums=2)(
+        c_single, boundary, 10
+    )
+
+    alive = np.asarray(s_carry.particles.alive)
+    assert alive.sum() == n_real, "live particles lost or duplicated"
+    assert int(s_diag.migration_drops) == 0
+    assert int(s_diag.neighbor_drops) == 0 and int(diag.neighbor_drops) == 0
+
+    np.testing.assert_allclose(
+        sorted_rows(np.asarray(s_carry.particles.positions)[alive]),
+        sorted_rows(c_single.particles.positions),
+        rtol=0, atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s_carry.particles.densities)[alive]),
+        np.sort(np.asarray(c_single.particles.densities)),
+        rtol=1e-4, atol=5e-2,
+    )
+
+
+@pytest.mark.slow
+def test_sharded_migration_conserves_particles(mesh):
+    """Longer collapse: particles cross shard-row boundaries; the global live
+    count must be conserved and drops stay zero."""
+    world, full_grid, sharded, single = _build(mesh)
+    boundary = world.boundary_dense(full_grid)
+    state = world.initial_state()
+    n_real = state.positions.shape[0]
+
+    s_carry, s_boundary = sharded.init(state, boundary)
+    total_migration = 0
+    for _ in range(6):
+        s_carry, s_diag = sharded.simulate(s_carry, s_boundary, 10)
+        assert int(s_diag.migration_drops) == 0
+        alive = np.asarray(s_carry.particles.alive)
+        assert alive.sum() == n_real
+
+    # the dam HAS collapsed across rows: shards' live counts changed from t0
+    pos = np.asarray(s_carry.particles.positions)[np.asarray(s_carry.particles.alive)]
+    assert np.isfinite(pos).all()
+    assert pos[:, 1].min() < 0.65  # collapsed like the single-device run
+
+    # physics still tracks the single-device run (different f32 reduction
+    # partitioning accumulates over 60 steps; compare distributions)
+    c_single = single.init_carry(state, boundary)
+    c_single, _ = jax.jit(single.simulate, static_argnums=2)(c_single, boundary, 60)
+    ps = np.asarray(c_single.particles.positions)
+    h = world.properties.smoothing_length
+    np.testing.assert_allclose(
+        np.sort(pos[:, 0]), np.sort(ps[:, 0]), atol=0.5 * h)
+    np.testing.assert_allclose(
+        np.sort(pos[:, 1]), np.sort(ps[:, 1]), atol=0.5 * h)
+
+
+def test_compiled_step_has_halo_exchange_and_no_allgather(mesh):
+    """The whole point of the shard_map redesign: neighbor-row halos ride
+    collective-permute; nothing all-gathers (VERDICT round 1, weak #4)."""
+    world, full_grid, sharded, single = _build(mesh)
+    boundary = world.boundary_dense(full_grid)
+    state = world.initial_state()
+
+    s_carry, s_boundary = sharded.init(state, boundary)
+    fn = sharded.simulate_fn(2)
+    compiled = fn.lower(s_carry, s_boundary).compile()
+    hlo = compiled.as_text()
+    assert "collective-permute" in hlo, "halo exchange must be a collective-permute"
+    assert "all-gather" not in hlo, "no full-array all-gather may remain"

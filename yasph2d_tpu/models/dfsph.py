@@ -168,13 +168,21 @@ class DFSPHSolver:
     # ------------------------------------------------------------ density loop
 
     def _correct_density_error(self, dt, densities, alpha, velocities, kappa,
-                               prev_iterations, neighborhood, cache: _PairCache):
+                               prev_iterations, neighborhood, cache: _PairCache,
+                               n_live=None):
         """Constant-density pressure loop with warm start
         (reference: correct_density_error, dfsph.rs:163-247)."""
         rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
         m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
         inv_dt = 1.0 / dt
         tol = jnp.asarray(self.max_avg_density_error, dtype=REAL)
+        # residual average over LIVE particles (the reference's exact count,
+        # dfsph.rs:221; padding particles contribute zero error but must not
+        # dilute the denominator)
+        inv_n = 1.0 / (
+            n_live if n_live is not None
+            else jnp.asarray(velocities.shape[0], dtype=REAL)
+        )
 
         # Warm start (gated on last step needing >1 iteration, dfsph.rs:197-206);
         # kappa pre-clamp 0.5*max(k, -0.5*rho0^2) from SPlisHSPlasH.
@@ -196,7 +204,7 @@ class DFSPHSolver:
             ki = err * alpha
             k_sum = k_sum + ki
             v = v - inv_dt * m * self._k_correction(ki, neighborhood, cache)
-            avg = jnp.mean(err)
+            avg = jnp.sum(err) * inv_n
             return v, k_sum, num + 1, avg
 
         def cond(state):
@@ -214,12 +222,17 @@ class DFSPHSolver:
     # --------------------------------------------------------- divergence loop
 
     def _correct_divergence_error(self, dt, alpha, velocities, stiffness,
-                                  prev_iterations, neighborhood, cache: _PairCache):
+                                  prev_iterations, neighborhood, cache: _PairCache,
+                                  n_live=None):
         """Divergence-free loop with warm start
         (reference: correct_divergence_error, dfsph.rs:282-402)."""
         rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
         m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
         tol = jnp.asarray(self.max_divergence_error, dtype=REAL)
+        inv_n = 1.0 / (
+            n_live if n_live is not None
+            else jnp.asarray(velocities.shape[0], dtype=REAL)
+        )
         total_neighbors = neighborhood.dynamic.count + neighborhood.static.count
 
         def warmstart(v):
@@ -241,7 +254,7 @@ class DFSPHSolver:
             ki = delta * alpha
             s_sum = s_sum + ki
             v = v - m * self._k_correction(ki, neighborhood, cache)
-            avg = jnp.mean(delta) / rho0
+            avg = jnp.sum(delta) * inv_n / rho0
             return v, s_sum, num + 1, avg
 
         def cond(state):
@@ -291,10 +304,11 @@ class DFSPHSolver:
         """One simulation step (reference: dfsph.rs:414-525). `carry.time` must
         already be advanced (`account_step`). Returns (carry, Diagnostics)."""
         particles = carry.particles
-        positions, velocities, densities = particles
+        positions, velocities, densities, alive = particles
         neighborhood = carry.neighborhood
         time_state = carry.time
         dt = time_state.dt
+        n_live = jnp.sum(alive).astype(REAL)
         m = self.properties.particle_mass
 
         cache = self._pair_cache(positions, neighborhood, boundary.positions)
@@ -312,10 +326,13 @@ class DFSPHSolver:
         accel = pair.masked_sum(visc, dyn.mask) + jnp.asarray(
             self.gravity, dtype=REAL
         )[None, :]
+        # dead (padding) particles are frozen: no gravity, no advection
+        accel = jnp.where(alive[:, None], accel, 0.0)
 
-        # --- CFL with the old-dt velocity estimate (dfsph.rs:472-481)
+        # --- CFL with the old-dt velocity estimate (dfsph.rs:472-481); live only
         v_estimate = velocities + accel * dt
-        max_velocity = jnp.sqrt(jnp.max(jnp.sum(v_estimate * v_estimate, axis=-1)))
+        v_est_sq = jnp.where(alive, jnp.sum(v_estimate * v_estimate, axis=-1), 0.0)
+        max_velocity = jnp.sqrt(jnp.max(v_est_sq))
         time_state = update_simulation_step(
             self.step_config, time_state,
             self.properties.particle_radius * 2.0, max_velocity,
@@ -329,7 +346,7 @@ class DFSPHSolver:
         predicted, kappa, density_iters, avg_density_error = (
             self._correct_density_error(
                 dt, densities, carry.alpha, predicted, carry.warmstart_kappa,
-                carry.prev_density_iterations, neighborhood, cache,
+                carry.prev_density_iterations, neighborhood, cache, n_live,
             )
         )
 
@@ -337,11 +354,13 @@ class DFSPHSolver:
         positions = positions + predicted * dt
 
         # --- neighborhood rebuild; co-sort everything that persists (dfsph.rs:512)
-        (positions, predicted, kappa, stiffness), positions_sorted, neighborhood = (
-            update_neighborhood(
-                (positions, predicted, kappa, carry.warmstart_stiffness),
-                positions, boundary, self.grid,
-            )
+        (
+            (positions, predicted, kappa, stiffness, alive),
+            positions_sorted,
+            neighborhood,
+        ) = update_neighborhood(
+            (positions, predicted, kappa, carry.warmstart_stiffness, alive),
+            positions, boundary, self.grid,
         )
         positions = positions_sorted
 
@@ -359,13 +378,13 @@ class DFSPHSolver:
         predicted, stiffness, divergence_iters, avg_divergence = (
             self._correct_divergence_error(
                 dt, alpha, predicted, stiffness,
-                carry.prev_divergence_iterations, neighborhood, cache,
+                carry.prev_divergence_iterations, neighborhood, cache, n_live,
             )
         )
 
         # --- velocities <- v* (dfsph.rs:524)
         new_carry = DFSPHCarry(
-            particles=ParticleState(positions, predicted, densities),
+            particles=ParticleState(positions, predicted, densities, alive),
             alpha=alpha,
             warmstart_kappa=kappa,
             warmstart_stiffness=stiffness,
@@ -377,22 +396,31 @@ class DFSPHSolver:
         diagnostics = Diagnostics(
             dt=dt,
             max_velocity=max_velocity,
-            neighbor_drops=neighborhood.dynamic.num_dropped
-            + neighborhood.static.num_dropped,
+            # both neighbor tables this step consumed: the carried-in one and the
+            # post-advection rebuild (see dfsph_dense.step)
+            neighbor_drops=jnp.maximum(
+                carry.neighborhood.dynamic.num_dropped
+                + carry.neighborhood.static.num_dropped,
+                neighborhood.dynamic.num_dropped
+                + neighborhood.static.num_dropped,
+            ),
             density_iterations=density_iters,
             divergence_iterations=divergence_iters,
             avg_density_error=avg_density_error,
             avg_divergence=avg_divergence,
+            migration_drops=jnp.zeros((), dtype=jnp.int32),
         )
         return new_carry, diagnostics
 
     def simulate(self, carry: DFSPHCarry, boundary: CellGrid, num_steps: int):
         """Run `num_steps` steps fully on device (lax.fori_loop), advancing the clock
-        before each step like the frame loop does."""
+        before each step like the frame loop does. The returned Diagnostics
+        AGGREGATES across all steps (Diagnostics.accumulate)."""
 
         def body(_, loop_carry):
-            c, _diag = loop_carry
+            c, agg = loop_carry
             c = c._replace(time=c.time.account_step())
-            return self.step(c, boundary)
+            c, diag = self.step(c, boundary)
+            return c, agg.accumulate(diag)
 
         return jax.lax.fori_loop(0, num_steps, body, (carry, Diagnostics.zeros()))

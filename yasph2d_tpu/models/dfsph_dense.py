@@ -141,6 +141,10 @@ class DFSPHDenseSolver:
             self, "kernel", WendlandQuinticC2(self.properties.smoothing_length)
         )
         assert abs(self.grid.cell_size - self.properties.smoothing_length) < 1e-12
+        if self.grid.pair_dtype != "float32":
+            assert not self.grid.use_pallas and not self.cache_loop_gradients, (
+                "bfloat16 pair math is only implemented for the XLA pair_reduce path"
+            )
         if self.grid.use_pallas:
             from functools import partial
 
@@ -155,8 +159,8 @@ class DFSPHDenseSolver:
 
     # ------------------------------------------------------------------ layout
 
-    def _sort(self, pytree, positions):
-        return sort_by_dense_keys(pytree, positions, self.grid)
+    def _sort(self, pytree, positions, alive):
+        return sort_by_dense_keys(pytree, positions, self.grid, alive)
 
     def _ctx(self, sorted_positions, sorted_keys, boundary: BoundaryDense) -> DenseCtx:
         """Build the per-rebuild context with exactly two pair passes.
@@ -210,7 +214,9 @@ class DFSPHDenseSolver:
             densities_pad=dens_pad,
             alpha_pad=alpha_pad,
             grad_dyn=grad_dyn,
-            num_dropped=slots.num_dropped + boundary.num_dropped,
+            # boundary drops are computed host-side on the FULL grid and arrive
+            # replicated — only the per-shard fluid drops need the global sum
+            num_dropped=self._sum_counts(slots.num_dropped) + boundary.num_dropped,
         )
 
     # --------------------------------------------------------------- pair ops
@@ -270,9 +276,32 @@ class DFSPHDenseSolver:
             )
         return dyn + k_pad[..., None] * ctx.sum_grad_stat
 
+    # --- single-device reduction hooks; the shard_map solver overrides these with
+    # --- collective versions (lax.psum / lax.pmax over the spatial mesh axis)
+
     def _mean_live(self, value_pad, ctx: DenseCtx, n_particles):
         total = jnp.sum(jnp.where(ctx.mask, value_pad, 0.0))
         return total / jnp.asarray(n_particles, REAL)
+
+    def _count_live(self, alive):
+        """Live-particle count used as the residual-average denominator."""
+        return jnp.sum(alive).astype(REAL)
+
+    def _max_velocity(self, v_estimate, alive):
+        """CFL velocity estimate over LIVE particles (reference: dfsph.rs:474-477)."""
+        v_est_sq = jnp.where(alive, jnp.sum(v_estimate * v_estimate, axis=-1), 0.0)
+        return jnp.sqrt(jnp.max(v_est_sq))
+
+    def _sum_counts(self, count):
+        """Global sum of a per-shard diagnostic counter (identity single-device)."""
+        return count
+
+    def _migrate(self, tree, positions, alive):
+        """Move particles that advected off this shard's row slice to the neighbor
+        shard (shard_map solver). Single-device: nothing to do.
+
+        Returns (tree, migration_drops)."""
+        return tree, jnp.zeros((), dtype=jnp.int32)
 
     # ------------------------------------------------------------ density loop
 
@@ -350,7 +379,7 @@ class DFSPHDenseSolver:
     # -------------------------------------------------------------------- init
 
     def init_carry(self, state: ParticleState, boundary: BoundaryDense) -> DFSPHDenseCarry:
-        (state,), sorted_keys = self._sort((state,), state.positions)
+        (state,), sorted_keys = self._sort((state,), state.positions, state.alive)
         ctx = self._ctx(state.positions, sorted_keys, boundary)
         densities = self._density(ctx, boundary)
         alpha = self._alpha(ctx, boundary)
@@ -373,11 +402,13 @@ class DFSPHDenseSolver:
         (reference: dfsph.rs:414-525)."""
         g = self.grid
         particles = carry.particles
-        positions, velocities, densities = particles
+        positions, velocities, densities, alive = particles
         ctx = carry.ctx
         time_state = carry.time
         dt = time_state.dt
-        n = positions.shape[0]
+        # residual averages divide by the LIVE count (reference averages over its
+        # exact particle count, dfsph.rs:221,376-377; padding must not dilute them)
+        n = self._count_live(alive)
         m = self.properties.particle_mass
 
         # --- non-pressure forces (gravity + viscosity, dynamic neighbors only)
@@ -398,10 +429,13 @@ class DFSPHDenseSolver:
         accel = slots_to_sorted(visc_pad, ctx.slots, g) + jnp.asarray(
             self.gravity, dtype=REAL
         )[None, :]
+        # dead (padding) particles are frozen: no gravity, no advection — otherwise
+        # their free-fall inflates the CFL v_max and decays dt toward timestep_min
+        accel = jnp.where(alive[:, None], accel, 0.0)
 
-        # --- CFL with old-dt estimate (dfsph.rs:472-481)
+        # --- CFL with old-dt estimate (dfsph.rs:472-481); live particles only
         v_estimate = velocities + accel * dt
-        max_velocity = jnp.sqrt(jnp.max(jnp.sum(v_estimate * v_estimate, axis=-1)))
+        max_velocity = self._max_velocity(v_estimate, alive)
         time_state = update_simulation_step(
             self.step_config, time_state,
             self.properties.particle_radius * 2.0, max_velocity,
@@ -425,10 +459,13 @@ class DFSPHDenseSolver:
         predicted = slots_to_sorted(pred_pad, ctx.slots, g, fallback=predicted)
         kappa = slots_to_sorted(kappa_pad, ctx.slots, g)
 
-        # --- advect + re-sort + rebuild ctx (dfsph.rs:499-512)
+        # --- advect + migrate (shard_map only) + re-sort + rebuild ctx
+        # (dfsph.rs:499-512)
         positions = positions + predicted * dt
-        (positions, predicted, kappa, stiffness), sorted_keys = self._sort(
-            (positions, predicted, kappa, carry.warmstart_stiffness), positions
+        tree = (positions, predicted, kappa, carry.warmstart_stiffness, alive)
+        tree, migration_drops = self._migrate(tree, positions, alive)
+        (positions, predicted, kappa, stiffness, alive), sorted_keys = self._sort(
+            tree, tree[0], tree[4],
         )
         ctx = self._ctx(positions, sorted_keys, boundary)
 
@@ -451,7 +488,7 @@ class DFSPHDenseSolver:
         stiffness = slots_to_sorted(stiff_pad, ctx.slots, g)
 
         new_carry = DFSPHDenseCarry(
-            particles=ParticleState(positions, predicted, densities),
+            particles=ParticleState(positions, predicted, densities, alive),
             alpha=alpha,
             warmstart_kappa=kappa,
             warmstart_stiffness=stiffness,
@@ -463,18 +500,28 @@ class DFSPHDenseSolver:
         diagnostics = Diagnostics(
             dt=dt,
             max_velocity=max_velocity,
-            neighbor_drops=ctx.num_dropped,
+            # BOTH grids this step consumed: the carried-in ctx (non-pressure
+            # forces + density loop) and the post-advection rebuild (divergence
+            # loop + next step) — otherwise drops in the initial/carried build
+            # would be invisible to every step's report
+            neighbor_drops=jnp.maximum(carry.ctx.num_dropped, ctx.num_dropped),
             density_iterations=density_iters,
             divergence_iterations=divergence_iters,
             avg_density_error=avg_density_error,
             avg_divergence=avg_divergence,
+            migration_drops=migration_drops,
         )
         return new_carry, diagnostics
 
     def simulate(self, carry: DFSPHDenseCarry, boundary: BoundaryDense, num_steps: int):
+        """Run `num_steps` steps on device. The returned Diagnostics AGGREGATES
+        across all steps (Diagnostics.accumulate): a one-step cell overflow or
+        residual spike anywhere in the run is visible in the result."""
+
         def body(_, loop_carry):
-            c, _diag = loop_carry
+            c, agg = loop_carry
             c = c._replace(time=c.time.account_step())
-            return self.step(c, boundary)
+            c, diag = self.step(c, boundary)
+            return c, agg.accumulate(diag)
 
         return jax.lax.fori_loop(0, num_steps, body, (carry, Diagnostics.zeros()))

@@ -40,8 +40,9 @@ class XSPHViscosityModel(ViscosityModel):
         object.__setattr__(self, "kernel", Poly6(self.smoothing_length))
 
     def compute_viscous_acceleration(self, dt, r_sq, r, mass_j, rho_j, velocity_diff):
+        # python-float constant keeps weak typing (bf16 pair passes stay bf16)
         c = (
-            jnp.asarray(self.epsilon * mass_j, dtype=REAL)
+            float(self.epsilon * mass_j)
             * self.kernel.evaluate(r_sq, r)
             / (rho_j * dt)
         )

@@ -157,6 +157,7 @@ class WCSPHSolver:
         loop's contract). Returns (carry, Diagnostics).
         """
         particles, accel, time_state = carry
+        alive = particles.alive
         dt = time_state.dt
 
         # leapfrog part 1: v at t+0.5, pos at t+1 (wscsph.rs:141-151)
@@ -166,8 +167,10 @@ class WCSPHSolver:
         # neighborhood rebuild re-sorts all attributes (wscsph.rs:153); accelerations
         # are recomputed from scratch below so they need no co-sort (the reference
         # also passes no extra attributes here).
-        (positions, velocities), positions_sorted, neighborhood = update_neighborhood(
-            (positions, velocities), positions, boundary, self.grid
+        (positions, velocities, alive), positions_sorted, neighborhood = (
+            update_neighborhood(
+                (positions, velocities, alive), positions, boundary, self.grid
+            )
         )
         positions = positions_sorted
 
@@ -186,10 +189,13 @@ class WCSPHSolver:
             positions, velocities, densities, pressures,
             neighborhood, boundary.positions, dt,
         )
+        # dead (padding) particles are frozen: no gravity, no advection
+        accel = jnp.where(alive[:, None], accel, 0.0)
 
         # CFL dt update uses the *old* dt velocity estimate (wscsph.rs:158-167)
         v_estimate = velocities + accel * dt
-        max_velocity = jnp.sqrt(jnp.max(jnp.sum(v_estimate * v_estimate, axis=-1)))
+        v_est_sq = jnp.where(alive, jnp.sum(v_estimate * v_estimate, axis=-1), 0.0)
+        max_velocity = jnp.sqrt(jnp.max(v_est_sq))
         time_state = update_simulation_step(
             self.step_config,
             time_state,
@@ -201,7 +207,7 @@ class WCSPHSolver:
         velocities = velocities + 0.5 * time_state.dt * accel
 
         new_carry = WCSPHCarry(
-            particles=ParticleState(positions, velocities, densities),
+            particles=ParticleState(positions, velocities, densities, alive),
             accelerations=accel,
             time=time_state,
         )
@@ -215,11 +221,13 @@ class WCSPHSolver:
 
     def simulate(self, carry: WCSPHCarry, boundary: CellGrid, num_steps: int):
         """Run `num_steps` steps fully on device under one jit (lax.fori_loop),
-        accounting the clock before each step like the frame loop does."""
+        accounting the clock before each step like the frame loop does. The
+        returned Diagnostics AGGREGATES across all steps."""
 
         def body(_, loop_carry):
-            c, _diag = loop_carry
+            c, agg = loop_carry
             c = c._replace(time=c.time.account_step())
-            return self.step(c, boundary)
+            c, diag = self.step(c, boundary)
+            return c, agg.accumulate(diag)
 
         return jax.lax.fori_loop(0, num_steps, body, (carry, Diagnostics.zeros()))

@@ -88,13 +88,14 @@ class WCSPHDenseSolver:
             time=TimeState.initial(self.step_config),
         )
 
-    def _sort(self, pytree, positions):
-        return sort_by_dense_keys(pytree, positions, self.grid)
+    def _sort(self, pytree, positions, alive):
+        return sort_by_dense_keys(pytree, positions, self.grid, alive)
 
     def step(self, carry: WCSPHDenseCarry, boundary: BoundaryDense):
         """One simulation step (reference: wscsph.rs:126-179)."""
         g = self.grid
         particles, accel, time_state = carry
+        alive = particles.alive
         dt = time_state.dt
         m = float(self.properties.particle_mass)
         rho0 = self.properties.fluid_density
@@ -103,9 +104,10 @@ class WCSPHDenseSolver:
         velocities = particles.velocities + 0.5 * dt * accel
         positions = particles.positions + velocities * dt
 
-        # sort + slot rebuild
-        (positions, velocities), sorted_keys = self._sort(
-            (positions, velocities), positions
+        # sort + slot rebuild (dead padding particles get sentinel keys and leave
+        # the grid entirely)
+        (positions, velocities, alive), sorted_keys = self._sort(
+            (positions, velocities, alive), positions, alive
         )
         slots = build_slot_grid(sorted_keys, g)
         pos_pad = pad_to_slots(positions, slots, g)
@@ -153,10 +155,13 @@ class WCSPHDenseSolver:
         accel = slots_to_sorted(accel_pad, slots, g) + jnp.asarray(
             self.gravity, dtype=REAL
         )[None, :]
+        # dead (padding) particles are frozen: no gravity, no advection
+        accel = jnp.where(alive[:, None], accel, 0.0)
 
-        # CFL with the *old* dt estimate (wscsph.rs:158-167)
+        # CFL with the *old* dt estimate (wscsph.rs:158-167); live particles only
         v_estimate = velocities + accel * dt
-        max_velocity = jnp.sqrt(jnp.max(jnp.sum(v_estimate * v_estimate, axis=-1)))
+        v_est_sq = jnp.where(alive, jnp.sum(v_estimate * v_estimate, axis=-1), 0.0)
+        max_velocity = jnp.sqrt(jnp.max(v_est_sq))
         time_state = update_simulation_step(
             self.step_config, time_state,
             self.properties.particle_radius * 2.0, max_velocity,
@@ -166,7 +171,7 @@ class WCSPHDenseSolver:
         velocities = velocities + 0.5 * time_state.dt * accel
 
         new_carry = WCSPHDenseCarry(
-            particles=ParticleState(positions, velocities, densities),
+            particles=ParticleState(positions, velocities, densities, alive),
             accelerations=accel,
             time=time_state,
         )
@@ -178,9 +183,12 @@ class WCSPHDenseSolver:
         return new_carry, diagnostics
 
     def simulate(self, carry: WCSPHDenseCarry, boundary: BoundaryDense, num_steps: int):
+        """Returned Diagnostics AGGREGATES across all steps (Diagnostics.accumulate)."""
+
         def body(_, loop_carry):
-            c, _diag = loop_carry
+            c, agg = loop_carry
             c = c._replace(time=c.time.account_step())
-            return self.step(c, boundary)
+            c, diag = self.step(c, boundary)
+            return c, agg.accumulate(diag)
 
         return jax.lax.fori_loop(0, num_steps, body, (carry, Diagnostics.zeros()))

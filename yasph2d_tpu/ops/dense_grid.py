@@ -61,6 +61,27 @@ class DenseGridConfig:
     # the XLA lax.map path. Same math, VMEM-resident windows.
     use_pallas: bool = False
     pallas_block_rows: int = 8
+    # Dtype of the per-pair math inside pair_reduce: "float32" (exact, default) or
+    # "bfloat16" (fast path). bfloat16 uses CELL-RELATIVE coordinates: positions are
+    # rebased onto their own cell center (magnitude <= h/2, so pair differences
+    # survive the 8-bit mantissa; absolute coordinates would not — see
+    # arXiv:2401.08586 for the mixed-precision MD analog), per-pair kernel math runs
+    # in bf16, and every candidate-axis reduction accumulates in float32. Expected
+    # per-pair position error ~0.5% of h; densities land well inside the DFSPH
+    # per-second tolerance band but NOT within float32 parity of the reference —
+    # this is an opt-in speed mode (halves the HBM traffic of windowed operands and
+    # materialized pair intermediates), not the conformance path.
+    pair_dtype: str = "float32"
+    # Multi-chip spatial decomposition (parallel/shard_dense.py): when set to
+    # (axis_name, n_shards), this config describes ONE SHARD's row slice (ny =
+    # ny_global / n_shards) running inside `shard_map`, and pair_reduce fetches its
+    # +-1 source cell rows from the neighbor shards with `lax.ppermute` instead of
+    # zero-padding — the one-cell halo exchange of SURVEY.md section 7 stage 8.
+    halo_axis: tuple = None
+
+    @property
+    def pair_jnp_dtype(self):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.pair_dtype]
 
     @property
     def radius_sq(self) -> float:
@@ -87,9 +108,16 @@ def cell_coords(positions: jax.Array, grid: DenseGridConfig):
     return cx, cy
 
 
-def cell_keys(positions: jax.Array, grid: DenseGridConfig) -> jax.Array:
+def cell_keys(positions: jax.Array, grid: DenseGridConfig, alive=None) -> jax.Array:
+    """Row-major cell key per particle. Dead particles (alive == False) get the
+    sentinel key `num_cells`, which sorts after every real cell and is excluded
+    from the slot grid entirely (see build_slot_grid) — padding particles
+    therefore cost no pair work and cannot overflow cells."""
     cx, cy = cell_coords(positions, grid)
-    return cy * grid.nx + cx
+    keys = cy * grid.nx + cx
+    if alive is not None:
+        keys = jnp.where(alive, keys, jnp.asarray(grid.num_cells, dtype=keys.dtype))
+    return keys
 
 
 class SlotGrid(NamedTuple):
@@ -123,7 +151,10 @@ def build_slot_grid(sorted_keys: jax.Array, grid: DenseGridConfig) -> SlotGrid:
             num_dropped=jnp.zeros((), dtype=INDEX),
         )
 
-    # starts[c] = first sorted index with key >= c ; counts from adjacent diffs
+    # starts[c] = first sorted index with key >= c ; counts from adjacent diffs.
+    # Keys >= C are the dead-particle sentinel (cell_keys with an alive mask):
+    # they sort to the tail, past starts[C], and so never enter any cell's slots
+    # and never count as dropped.
     cell_iota = jnp.arange(c + 1, dtype=sorted_keys.dtype)
     starts = jnp.searchsorted(
         sorted_keys, cell_iota, side="left", method="scan_unrolled"
@@ -137,8 +168,8 @@ def build_slot_grid(sorted_keys: jax.Array, grid: DenseGridConfig) -> SlotGrid:
     slot_idx = jnp.clip(slot_idx, 0, n - 1)
 
     # rank of each sorted particle within its cell
-    rank = jnp.arange(n, dtype=INDEX) - starts[sorted_keys]
-    in_grid = rank < p
+    rank = jnp.arange(n, dtype=INDEX) - starts[jnp.minimum(sorted_keys, c - 1)]
+    in_grid = (rank < p) & (sorted_keys < c)
     inverse = jnp.clip(sorted_keys * p + jnp.minimum(rank, p - 1), 0, c * p - 1)
     num_dropped = jnp.sum(jnp.maximum(counts - p, 0)).astype(INDEX)
 
@@ -151,12 +182,14 @@ def build_slot_grid(sorted_keys: jax.Array, grid: DenseGridConfig) -> SlotGrid:
     )
 
 
-def sort_by_dense_keys(pytree, positions: jax.Array, grid: DenseGridConfig):
+def sort_by_dense_keys(pytree, positions: jax.Array, grid: DenseGridConfig,
+                       alive=None):
     """Sort a particle-attribute pytree into dense cell-key order.
 
     Shared by the dense solvers; same identity-instability contract as
-    world.sort_particles. Returns (sorted_pytree, sorted_keys)."""
-    keys = cell_keys(positions, grid)
+    world.sort_particles. Dead particles (alive mask) get the sentinel key and
+    sort to the tail, outside every cell. Returns (sorted_pytree, sorted_keys)."""
+    keys = cell_keys(positions, grid, alive)
     n = positions.shape[0]
     sorted_keys, perm = jax.lax.sort(
         (keys, jnp.arange(n, dtype=jnp.int32)), num_keys=1
@@ -214,12 +247,33 @@ def neighbor_windows(padded: jax.Array):
     return jnp.concatenate(views, axis=2)  # (ny, nx, 9P, ...)
 
 
+def _view_offsets(grid: DenseGridConfig, num_source_slots: int, dtype):
+    """(9*Ps, 2) constant: for candidate k of view (dy, dx), the cell-center delta
+    (candidate cell center - query cell center) = ((dx-1)*h, (dy-1)*h). Added back
+    to cell-relative pair differences to recover absolute geometry."""
+    import numpy as np
+
+    h = grid.cell_size
+    off = np.asarray(
+        [((dx - 1) * h, (dy - 1) * h) for dy in range(3) for dx in range(3)],
+        dtype=np.float32,
+    )
+    return jnp.asarray(np.repeat(off, num_source_slots, axis=0), dtype=dtype)
+
+
 def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
-                       cand_vals_halo, grid: DenseGridConfig, scalar_args=()):
+                       cand_vals_halo, grid: DenseGridConfig, scalar_args=(),
+                       relative: bool = False):
     """One tile's pair reduction.
 
     q_* / query_vals: (B, C, P, ...) query tile; s_*_halo / cand_vals_halo:
     (B+2, C+2, Ps, ...) source tile including a one-cell halo on every side.
+
+    `relative`: positions are CELL-RELATIVE (rebased onto each cell's own center);
+    pair differences add the constant per-view center delta back. Used by the
+    bfloat16 fast path, where absolute coordinates would not survive rounding.
+    Candidate-axis reductions always accumulate in float32 regardless of the
+    per-pair dtype.
     """
     b, c = q_pos.shape[0], q_pos.shape[1]
 
@@ -240,12 +294,16 @@ def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
     ]
 
     ri_to_rj = cand_pos[:, :, None, :, :] - q_pos[:, :, :, None, :]
+    if relative:
+        off = _view_offsets(grid, s_pos_halo.shape[2], q_pos.dtype)
+        ri_to_rj = ri_to_rj + off[None, None, None, :, :]
     r_sq = jnp.sum(ri_to_rj * ri_to_rj, axis=-1)
+    # python-float bounds keep weak typing: the compare runs in the pair dtype
     valid = (
         q_mask[:, :, :, None]
         & cand_mask[:, :, None, :]
-        & (r_sq <= jnp.asarray(grid.radius_sq, dtype=REAL))
-        & (r_sq > jnp.asarray(MIN_DISTANCE_SQ, dtype=REAL))
+        & (r_sq <= grid.radius_sq)
+        & (r_sq > MIN_DISTANCE_SQ)
     )
 
     per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq), *scalar_args, *q_vals, *cand_vals)
@@ -257,7 +315,7 @@ def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
         # 1.20M particle-steps/sec when reverted — the two component consumers force
         # the per-pair tensor to materialize, where one 5D reduce fuses end-to-end.
         mask = valid if leaf.ndim == valid.ndim else valid[..., None]
-        return jnp.sum(jnp.where(mask, leaf, 0.0), axis=3)
+        return jnp.sum(jnp.where(mask, leaf, 0.0), axis=3, dtype=REAL)
 
     return jax.tree_util.tree_map(reduce_leaf, per_pair)
 
@@ -342,14 +400,56 @@ def pair_reduce(
     per-pair temporaries never exceed one tile's worth regardless of domain size —
     1M-particle grids would otherwise blow HBM on materialized pair tensors — and
     tiles with no live query or source slots are skipped entirely (lax.cond).
+
+    With grid.pair_dtype == "bfloat16" all per-pair math runs in bf16 on
+    CELL-RELATIVE coordinates (see DenseGridConfig.pair_dtype); reductions still
+    accumulate float32, so every output leaf is float32 either way.
     """
     ny, nx = query_padded_pos.shape[:2]
     rb = grid.row_block or ny
     cb = grid.col_block or nx
 
+    dtype = grid.pair_jnp_dtype
+    relative = dtype != REAL
+    if relative:
+        # rebase every position onto its own cell center: values in [-h/2, h/2]
+        # (border-clamped strays excepted) survive the cast to bf16
+        h = grid.cell_size
+        row0 = 0
+        if grid.halo_axis is not None:  # this shard's global row offset
+            row0 = jax.lax.axis_index(grid.halo_axis[0]) * ny
+        cx = (jnp.arange(nx, dtype=REAL) + 0.5) * h + grid.origin[0]
+        cy = (jnp.arange(ny, dtype=REAL) + 0.5 + row0) * h + grid.origin[1]
+        centers = jnp.stack(
+            [jnp.broadcast_to(cx[None, :], (ny, nx)),
+             jnp.broadcast_to(cy[:, None], (ny, nx))], axis=-1
+        )[:, :, None, :]  # (ny, nx, 1, 2)
+        query_padded_pos = (query_padded_pos - centers).astype(dtype)
+        source_padded_pos = (source_padded_pos - centers).astype(dtype)
+        query_values = [v.astype(dtype) for v in query_values]
+        source_values = [v.astype(dtype) for v in source_values]
+        scalar_args = tuple(
+            jnp.asarray(a, dtype=REAL).astype(dtype) for a in scalar_args
+        )
+
+    def halo_rows(a):
+        # +-1 source cell rows: zero-padded on a single device; fetched from the
+        # neighbor shards with ppermute under spatial sharding (grid.halo_axis).
+        # The exchange runs OUTSIDE the tile loop, unconditionally on every shard.
+        if grid.halo_axis is None:
+            zr = jnp.zeros_like(a[:1])
+            return jnp.concatenate([zr, a, zr], axis=0)
+        axis_name, n_shards = grid.halo_axis
+        fwd = [(i, i + 1) for i in range(n_shards - 1)]
+        bwd = [(i + 1, i) for i in range(n_shards - 1)]
+        # shard i+1's "row below 0" is shard i's last row; edge shards get zeros
+        # (ppermute fills unaddressed destinations with zeros)
+        below = jax.lax.ppermute(a[-1:], axis_name, fwd)
+        above = jax.lax.ppermute(a[:1], axis_name, bwd)
+        return jnp.concatenate([below, a, above], axis=0)
+
     def halo2d(a):
-        zr = jnp.zeros_like(a[:1])
-        a = jnp.concatenate([zr, a, zr], axis=0)
+        a = halo_rows(a)
         zc = jnp.zeros_like(a[:, :1])
         return jnp.concatenate([zc, a, zc], axis=1)
 
@@ -358,11 +458,19 @@ def pair_reduce(
             fn, query_padded_pos, query_mask, list(query_values),
             halo2d(source_padded_pos), halo2d(source_mask),
             [halo2d(v) for v in source_values], grid, scalar_args,
+            relative=relative,
         )
 
     nbr = -(-ny // rb)
     nbc = -(-nx // cb)
     ny_pad, nx_pad = nbr * rb, nbc * cb
+    if grid.halo_axis is not None:
+        # the halo rows come from neighbor shards; appending zero row-padding after
+        # them would misalign the tile slices, so the local row count must tile
+        # exactly (parallel/shard_dense.py picks row_block accordingly)
+        assert ny_pad == ny, (
+            f"sharded pair_reduce needs ny ({ny}) divisible by row_block ({rb})"
+        )
 
     def pad2d(a):
         er, ec = ny_pad - a.shape[0], nx_pad - a.shape[1]
@@ -400,7 +508,7 @@ def pair_reduce(
 
         def run(_):
             return _pair_reduce_block(fn, q_p, q_m, q_v, s_p, s_m, s_v, grid,
-                                      scalar_args)
+                                      scalar_args, relative=relative)
 
         def skip(_):
             out_shape = jax.eval_shape(run, None)

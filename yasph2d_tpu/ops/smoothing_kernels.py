@@ -29,7 +29,7 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from ..units import DIVISION_EPSILON, as_real
+from ..units import DIVISION_EPSILON
 
 
 @dataclass(frozen=True)
@@ -57,7 +57,7 @@ class SmoothingKernel:
 
     def _scale(self, c, ri_to_rj):
         """Multiply per-pair scalar c (...,) onto vectors (..., 2)."""
-        return as_real(c)[..., None] * ri_to_rj
+        return jnp.asarray(c)[..., None] * ri_to_rj
 
 
 @dataclass(frozen=True)
@@ -76,11 +76,11 @@ class Poly6(SmoothingKernel):
 
     def evaluate(self, r_sq, r):
         dsq = jnp.maximum(self._hsq - r_sq, 0.0)
-        return as_real(self._norm) * dsq * dsq * dsq
+        return self._norm * dsq * dsq * dsq
 
     def gradient(self, ri_to_rj, r_sq, r):
         dsq = jnp.maximum(self._hsq - r_sq, 0.0)
-        return self._scale(as_real(self._norm_grad) * dsq * dsq, ri_to_rj)
+        return self._scale(self._norm_grad * dsq * dsq, ri_to_rj)
 
 
 @dataclass(frozen=True)
@@ -97,11 +97,11 @@ class Spiky(SmoothingKernel):
 
     def evaluate(self, r_sq, r):
         hsubr = jnp.maximum(self.h - r, 0.0)
-        return as_real(self._norm) * hsubr * hsubr * hsubr
+        return self._norm * hsubr * hsubr * hsubr
 
     def gradient(self, ri_to_rj, r_sq, r):
         hsubr = jnp.maximum(self.h - r, 0.0)
-        c = as_real(self._norm_grad) * hsubr * hsubr / (r + DIVISION_EPSILON)
+        c = self._norm_grad * hsubr * hsubr / (r + DIVISION_EPSILON)
         return self._scale(c, ri_to_rj)
 
 
@@ -116,16 +116,16 @@ class CubicSpline(SmoothingKernel):
         object.__setattr__(self, "_norm_grad", 6.0 * 40.0 / (7.0 * math.pi * h**3))
 
     def evaluate(self, r_sq, r):
-        q = r * as_real(self._h_inv)
+        q = r * self._h_inv
         q_sq = q * q
         inner = (1.0 / 6.0) + q_sq * q - q_sq
         one_minus_q = 1.0 - q
         outer = one_minus_q * one_minus_q * one_minus_q * (2.0 / 6.0)
         w = jnp.where(q <= 0.5, inner, jnp.where(q <= 1.0, outer, 0.0))
-        return as_real(self._norm) * w
+        return self._norm * w
 
     def gradient(self, ri_to_rj, r_sq, r):
-        q = r * as_real(self._h_inv)
+        q = r * self._h_inv
         # The reference divides by r without an epsilon (cubic.rs:44-47); we add the
         # shared DIVISION_EPSILON to keep masked / exactly-coincident pair slots NaN
         # free. Neighbor lists filter r_sq > 1e-10, so live pairs are unaffected.
@@ -134,7 +134,7 @@ class CubicSpline(SmoothingKernel):
         factor = 1.0 - q
         outer = factor * factor / r_safe
         c = jnp.where(q <= 0.5, inner, jnp.where(q < 1.0, outer, 0.0))
-        return self._scale(as_real(self._norm_grad) * c, ri_to_rj)
+        return self._scale(self._norm_grad * c, ri_to_rj)
 
 
 @dataclass(frozen=True)
@@ -152,15 +152,15 @@ class WendlandQuinticC2(SmoothingKernel):
         object.__setattr__(self, "_norm_grad", 140.0 / (math.pi * h**4))
 
     def evaluate(self, r_sq, r):
-        q = jnp.minimum(r * as_real(self._h_inv), 1.0)
+        q = jnp.minimum(r * self._h_inv, 1.0)
         one_minus_q = 1.0 - q
         omq_sq = one_minus_q * one_minus_q
-        return as_real(self._norm) * omq_sq * omq_sq * (q + 0.25)
+        return self._norm * omq_sq * omq_sq * (q + 0.25)
 
     def gradient(self, ri_to_rj, r_sq, r):
-        q = jnp.minimum(r * as_real(self._h_inv), 1.0)
+        q = jnp.minimum(r * self._h_inv, 1.0)
         one_minus_q = 1.0 - q
-        c = as_real(self._norm_grad) * one_minus_q * one_minus_q * one_minus_q
+        c = self._norm_grad * one_minus_q * one_minus_q * one_minus_q
         return self._scale(c, ri_to_rj)
 
 
@@ -181,13 +181,13 @@ class Viscosity(SmoothingKernel):
         object.__setattr__(self, "_norm_lapl", 360.0 / (29.0 * math.pi * h**5))
 
     def evaluate(self, r_sq, r):
-        w = as_real(self._norm) * (4.0 * r_sq * r / (9.0 * self.h) + r_sq) / self._hsq
+        w = self._norm * (4.0 * r_sq * r / (9.0 * self.h) + r_sq) / self._hsq
         return jnp.where(r < self.h, w, 0.0)
 
     def laplacian(self, r_sq, r):
         # NOTE: like the reference (viscosity.rs:45-47) this does NOT clamp to zero
         # outside the support; callers rely on the neighbor radius == h.
-        return as_real(self._norm_lapl) * (self.h - r)
+        return self._norm_lapl * (self.h - r)
 
 
 ALL_KERNELS = (Poly6, Spiky, CubicSpline, WendlandQuinticC2)

@@ -114,12 +114,12 @@ def shard_dense(carry, boundary, mesh: Mesh, grid):
 def pad_particles_dense(state, multiple: int, grid):
     """Pad a ParticleState so N divides the mesh size — dense-grid variant.
 
-    Each padding particle parks in its own bottom-margin cell column (one per cell,
-    spaced exactly cell_size, below every boundary), so: no real pair interactions
-    (W(h) == 0), no slot overflow even after they free-fall out of the box (clamped
-    cell keys keep them one-per-column in row 0), and no effect on the physics. Like
-    the table-grid variant they do inflate the CFL v_max over long runs — production
-    scenes should pick divisible counts instead.
+    Padding particles are DEAD (alive == False): the dense backend assigns them
+    sentinel cell keys so they never occupy a slot, never interact, and the
+    solvers freeze them (zero acceleration, excluded from the CFL max-velocity
+    estimate and the residual averages) — a padded run's dt and residuals are
+    identical to the unpadded run's. The park position below the domain is
+    therefore cosmetic.
     """
     import jax.numpy as jnp
 
@@ -127,9 +127,9 @@ def pad_particles_dense(state, multiple: int, grid):
     pad = (-n) % multiple
     if pad == 0:
         return state
-    assert pad <= grid.nx, "more padding than grid columns"
     h = grid.cell_size
-    xs = grid.origin[0] + (0.5 + np.arange(pad, dtype=np.float32)) * h
+    # park positions may overlap freely: dead particles never enter the grid
+    xs = grid.origin[0] + (0.5 + np.arange(pad, dtype=np.float32) % grid.nx) * h
     ys = np.full((pad,), grid.origin[1] + 0.5 * h, dtype=np.float32)
     park = np.stack([xs, ys], axis=-1)
     return type(state)(
@@ -140,18 +140,19 @@ def pad_particles_dense(state, multiple: int, grid):
         densities=jnp.concatenate(
             [state.densities, jnp.zeros((pad,), state.densities.dtype)], axis=0
         ),
+        alive=jnp.concatenate([state.alive, jnp.zeros((pad,), bool)], axis=0),
     )
 
 
 def pad_particle_count(state, multiple: int, park_at=(-99.0, -99.0), spacing=0.5):
     """Pad a ParticleState so N divides the mesh size.
 
-    Padding particles are parked on a sparse lattice far outside any reasonable scene
-    (near the virtual grid origin, default grid_min=(-100,-100)): they have no
-    neighbors within the search radius, so they contribute nothing to any pair sum;
-    they simply free-fall under gravity like any isolated particle. Production scenes
-    should pick counts divisible by the mesh instead (this helper is exact but the
-    falling padding inflates the CFL v_max estimate over long runs).
+    Padding particles are DEAD (alive == False) and parked on a sparse lattice far
+    outside any reasonable scene (near the virtual grid origin, default
+    grid_min=(-100,-100)): they have no neighbors within the search radius, the
+    solvers freeze them (zero acceleration, no advection) and exclude them from
+    the CFL max-velocity estimate and the residual averages — padding has no
+    effect on dt or physics at any run length.
     """
     import jax.numpy as jnp
 
@@ -171,4 +172,5 @@ def pad_particle_count(state, multiple: int, park_at=(-99.0, -99.0), spacing=0.5
         densities=jnp.concatenate(
             [state.densities, jnp.zeros((pad,), state.densities.dtype)], axis=0
         ),
+        alive=jnp.concatenate([state.alive, jnp.zeros((pad,), bool)], axis=0),
     )

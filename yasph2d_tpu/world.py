@@ -64,11 +64,19 @@ class FluidProperties:
 
 class ParticleState(NamedTuple):
     """Dynamic (fluid) particle state. All leaves share the leading dimension N and
-    are co-sorted on every neighborhood rebuild."""
+    are co-sorted on every neighborhood rebuild.
+
+    `alive` marks real particles; padding particles (added so N divides a device
+    mesh, parallel/sharding.py) are dead: solvers freeze them (zero acceleration,
+    no advection), exclude them from the CFL max-velocity estimate and from the
+    DFSPH residual averages, and the dense backend drops them from the cell grid
+    entirely (sentinel cell keys). The reference has no such concept — its particle
+    count is always exact."""
 
     positions: jax.Array  # (N, 2) f32
     velocities: jax.Array  # (N, 2) f32
     densities: jax.Array  # (N,) f32
+    alive: jax.Array  # (N,) bool
 
 
 def sort_particles(pytree, positions: jax.Array, grid: GridConfig):
@@ -234,6 +242,7 @@ class FluidParticleWorld:
             positions=pos,
             velocities=jnp.zeros((n, 2), dtype=REAL),
             densities=jnp.zeros((n,), dtype=REAL),
+            alive=jnp.ones((n,), dtype=bool),
         )
 
     def boundary_grid(self) -> CellGrid:
