@@ -1,3 +1,4 @@
+import pytest
 """Pallas pair kernel vs the XLA pair_reduce path (interpret mode on CPU).
 
 Summation order differs (Pallas accumulates per neighbor-cell window; XLA reduces
@@ -78,6 +79,7 @@ def test_pallas_uneven_blocks_and_scalar_values():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dense_solver_with_pallas_backend():
     """Full DFSPH dense step through the Pallas kernels matches the XLA path."""
     import dataclasses

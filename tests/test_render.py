@@ -137,6 +137,7 @@ def test_native_png_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded, img)
 
 
+@pytest.mark.slow
 def test_app_dense_solver(tmp_path):
     from yasph2d_tpu.app import SimulationApp, UpdateMode, default_world
 
@@ -169,6 +170,7 @@ def test_async_recorder_many_frames(tmp_path):
     assert rec.close() == 0
 
 
+@pytest.mark.slow
 def test_hud_text_and_overlay(tmp_path):
     from yasph2d_tpu.app import SimulationApp, UpdateMode, default_world
 

@@ -60,6 +60,7 @@ def sorted_rows(a):
     return a[np.lexsort(a.T)]
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(mesh):
     world, full_grid, sharded, single = _build(mesh)
     boundary = world.boundary_dense(full_grid)

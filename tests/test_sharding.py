@@ -114,6 +114,7 @@ def test_sharded_step_matches_single_device(mesh):
     )
 
 
+@pytest.mark.slow
 def test_dense_sharded_step_matches_single_device(mesh):
     """Spatial sharding of the dense backend: cell rows shard over the mesh; XLA
     turns the neighbor-window slices into halo exchanges. Physics must match the

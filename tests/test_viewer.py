@@ -27,6 +27,7 @@ def viewer():
     return InteractiveViewer(app, figsize=(4, 3))
 
 
+@pytest.mark.slow
 def test_viewer_ticks_and_updates_scatter(viewer):
     for _ in range(2):
         viewer.tick()
@@ -37,6 +38,7 @@ def test_viewer_ticks_and_updates_scatter(viewer):
     assert colors.shape[0] == offsets.shape[0]
 
 
+@pytest.mark.slow
 def test_space_resets_simulation(viewer):
     viewer.tick()
     t_before = viewer.app.time_manager.total_simulated_time
@@ -45,6 +47,7 @@ def test_space_resets_simulation(viewer):
     assert viewer.app.time_manager.total_simulated_time == 0.0
 
 
+@pytest.mark.slow
 def test_r_toggles_recording_and_h_toggles_hud(viewer, tmp_path):
     viewer.app.recorder.directory = str(tmp_path)
     assert viewer.app.update_mode == UpdateMode.REALTIME

@@ -1,3 +1,4 @@
+import pytest
 """Dense-layout WCSPH: cross-validation against the faithful table solver."""
 
 import numpy as np
@@ -56,6 +57,7 @@ def test_wcsph_dense_matches_table_short_horizon():
     )
 
 
+@pytest.mark.slow
 def test_wcsph_dense_dam_break_stability():
     world = small_dam_break(particle_density=1600.0)
     _, dense, dense_grid = make_pair(

@@ -151,16 +151,16 @@ def build_slot_grid(sorted_keys: jax.Array, grid: DenseGridConfig) -> SlotGrid:
             num_dropped=jnp.zeros((), dtype=INDEX),
         )
 
-    # starts[c] = first sorted index with key >= c ; counts from adjacent diffs.
-    # Keys >= C are the dead-particle sentinel (cell_keys with an alive mask):
-    # they sort to the tail, past starts[C], and so never enter any cell's slots
-    # and never count as dropped.
-    cell_iota = jnp.arange(c + 1, dtype=sorted_keys.dtype)
-    starts = jnp.searchsorted(
-        sorted_keys, cell_iota, side="left", method="scan_unrolled"
-    ).astype(INDEX)
-    counts = starts[1:] - starts[:-1]  # (C,)
-    starts = starts[:-1]
+    # counts[c] by scatter-add, starts[c] by exclusive cumsum: measured 10.8x
+    # faster than searchsorted(method="scan_unrolled") on TPU (19.8 -> 1.8 ms at
+    # C=167k, tools/probe_layout_ops.py). Equivalent because keys are sorted:
+    # starts[c] = first sorted index with key >= c. Keys >= C are the
+    # dead-particle sentinel (cell_keys with an alive mask): mode="drop" excludes
+    # them from counts, and they sort to the tail, past every cell's slots.
+    counts = jnp.zeros((c,), dtype=INDEX).at[sorted_keys].add(
+        jnp.ones((), dtype=INDEX), mode="drop"
+    )
+    starts = (jnp.cumsum(counts) - counts).astype(INDEX)
 
     lane = jnp.arange(p, dtype=INDEX)
     slot_idx = starts[:, None] + lane[None, :]
