@@ -94,4 +94,17 @@ timeit("pad via P per-lane gathers", pad_per_lane, vals)
 
 # full sort probes
 timeit("lax.sort keys+iota (100k)",
-       lambda k: jax.lax.sort((k, jnp.arange(N, jnp.int32)), num_keys=1), keys)
+       lambda k: jax.lax.sort((k, jnp.arange(N, dtype=jnp.int32)), num_keys=1),
+       keys)
+
+# scalar pad variants: 1D gather vs trailing-unit-dim 2D gather
+svals = vals[:, 0]
+timeit("scalar pad via 1D gather (current)",
+       lambda v: v[slot_idx].reshape(C * P), svals)
+timeit("scalar pad via (N,1) 2D gather",
+       lambda v: v[:, None][slot_idx].reshape(C * P), svals)
+timeit("scalar unpad 1D (current)", lambda p: p[inverse], g[:, 0])
+timeit("scalar unpad via (C*P,1)", lambda p: p[:, None][inverse][:, 0], g[:, 0])
+x = timeit("stacked pad (N,5) one gather",
+       lambda v: v[slot_idx].reshape(C * P, 5),
+       jnp.concatenate([vals, vals, svals[:, None]], axis=1))

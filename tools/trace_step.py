@@ -1,0 +1,103 @@
+"""Capture a device trace of the dense DFSPH step and print an op-time summary.
+
+Parses the xplane proto produced by jax.profiler directly (pure-python protobuf
+to dodge the descriptor-version conflict in tensorboard_plugin_profile).
+
+Usage: python tools/trace_step.py [n_particles]
+"""
+
+import os
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+import collections
+import dataclasses
+import glob
+import sys
+
+import jax
+
+sys.path.insert(0, ".")
+from bench import double_dam_break
+from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
+from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+from yasph2d_tpu.timemanager import AdaptiveTimeStep
+from yasph2d_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+TRACE_DIR = "/tmp/yasph_trace"
+
+
+def main():
+    target = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    world = double_dam_break(target)
+    grid = dataclasses.replace(world.dense_grid(occupancy=7), row_block=16)
+    solver = DFSPHDenseSolver(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties, grid=grid,
+        step_config=AdaptiveTimeStep(
+            timestep_max=1 / 360, timestep_min=1 / 24000, cfl_factor=1.5
+        ),
+    )
+    boundary = world.boundary_dense(grid)
+    carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+    simulate = jax.jit(solver.simulate, static_argnums=2)
+    carry, _ = simulate(carry, boundary, 50)  # settle + compile
+    _ = float(carry.time.total_simulated_time)
+
+    with jax.profiler.trace(TRACE_DIR):
+        carry, _ = simulate(carry, boundary, 10)
+        _ = float(carry.time.total_simulated_time)
+
+    paths = sorted(glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True))
+    print("trace files:", paths, file=sys.stderr)
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # pure-python parse
+
+    spaces = []
+    for p in paths:
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(p, "rb").read())
+        spaces.append(xs)
+
+    # Sum durations per HLO-op category on device lines.
+    totals = collections.Counter()
+    for xs in spaces:
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "/device:" not in plane.name:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if "XLA Ops" not in line.name and "Steps" not in line.name \
+                        and line.name != "XLA Modules" and "op" not in line.name.lower():
+                    pass
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, "?")
+                    totals[(plane.name, line.name, name)] += ev.duration_ps
+    by_line = collections.Counter()
+    for (plane, line, name), ps in totals.items():
+        by_line[(plane, line)] += ps
+    print("\n=== planes/lines ===")
+    for (plane, line), ps in by_line.most_common(10):
+        print(f"{plane} | {line}: {ps / 1e9:.3f} ms total")
+
+    # top ops on the busiest device line
+    if by_line:
+        busiest = max(
+            ((k, v) for k, v in by_line.items() if "op" in k[1].lower() or True),
+            key=lambda kv: kv[1],
+        )[0]
+        print(f"\n=== top ops on {busiest} ===")
+        sub = collections.Counter(
+            {name: ps for (plane, line, name), ps in totals.items()
+             if (plane, line) == busiest}
+        )
+        grand = sum(sub.values())
+        for name, ps in sub.most_common(40):
+            print(f"{ps / 1e9 / 10:9.3f} ms/step {ps / grand * 100:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

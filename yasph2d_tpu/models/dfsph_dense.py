@@ -287,9 +287,14 @@ class DFSPHDenseSolver:
         """Live-particle count used as the residual-average denominator."""
         return jnp.sum(alive).astype(REAL)
 
-    def _max_velocity(self, v_estimate, alive):
-        """CFL velocity estimate over LIVE particles (reference: dfsph.rs:474-477)."""
-        v_est_sq = jnp.where(alive, jnp.sum(v_estimate * v_estimate, axis=-1), 0.0)
+    def _max_velocity(self, vstar_pad, mask):
+        """CFL velocity estimate over live slots (reference: dfsph.rs:474-477).
+
+        Operates in PADDED layout: overflow-dropped particles (rank >= P, zero in
+        healthy runs) are excluded from the estimate — they receive a gravity-only
+        prediction and no pair forces, so their speed cannot exceed the live max
+        by more than one step's gravity kick."""
+        v_est_sq = jnp.where(mask, jnp.sum(vstar_pad * vstar_pad, axis=-1), 0.0)
         return jnp.sqrt(jnp.max(v_est_sq))
 
     def _sum_counts(self, count):
@@ -412,7 +417,15 @@ class DFSPHDenseSolver:
         m = self.properties.particle_mass
 
         # --- non-pressure forces (gravity + viscosity, dynamic neighbors only)
-        v_pad = pad_to_slots(velocities, ctx.slots, g)
+        # velocities + warmstart kappa share one slot gather: separate pads cost
+        # 1.6 + 7.8 ms at 100k (scalar gathers lower poorly, see PERF.md round-2
+        # trace); the packed (N, 3) gather costs one vector pad
+        vk = jnp.concatenate(
+            [velocities, carry.warmstart_kappa[:, None]], axis=1
+        )
+        vk_pad = pad_to_slots(vk, ctx.slots, g)
+        v_pad = vk_pad[..., :2]
+        kappa_pad = vk_pad[..., 2]
         rho_pad = ctx.densities_pad  # carried from last rebuild (== particles.densities)
 
         def visc(ri_to_rj, r_sq, r, dt_s, v_i, v_j, rho_j):
@@ -426,16 +439,15 @@ class DFSPHDenseSolver:
                 source_values=(v_pad, rho_pad), query_values=(v_pad,),
                 scalar_args=(dt,),
             )
-        accel = slots_to_sorted(visc_pad, ctx.slots, g) + jnp.asarray(
-            self.gravity, dtype=REAL
-        )[None, :]
-        # dead (padding) particles are frozen: no gravity, no advection — otherwise
-        # their free-fall inflates the CFL v_max and decays dt toward timestep_min
-        accel = jnp.where(alive[:, None], accel, 0.0)
+        # acceleration, CFL estimate, and v* prediction all stay in PADDED layout
+        # (no sorted round-trip): the slot mask covers exactly the live in-grid
+        # particles, so masking replaces the alive-gating of the sorted path.
+        gvec = jnp.asarray(self.gravity, dtype=REAL)
+        accel_pad = visc_pad + gvec
 
-        # --- CFL with old-dt estimate (dfsph.rs:472-481); live particles only
-        v_estimate = velocities + accel * dt
-        max_velocity = self._max_velocity(v_estimate, alive)
+        # --- CFL with old-dt estimate (dfsph.rs:472-481); live slots only
+        vstar_pad = v_pad + accel_pad * dt
+        max_velocity = self._max_velocity(vstar_pad, ctx.mask)
         time_state = update_simulation_step(
             self.step_config, time_state,
             self.properties.particle_radius * 2.0, max_velocity,
@@ -443,11 +455,9 @@ class DFSPHDenseSolver:
         dt = time_state.dt
 
         # --- predict v* with the NEW dt, then constant-density loop in padded layout
-        predicted = velocities + accel * dt
-        pred_pad = pad_to_slots(predicted, ctx.slots, g)
+        pred_pad = v_pad + accel_pad * dt
         dens_pad = rho_pad
         alpha_pad = ctx.alpha_pad
-        kappa_pad = pad_to_slots(carry.warmstart_kappa, ctx.slots, g)
         with jax.named_scope("DFSPH.correct_density_error"):
             pred_pad, kappa_pad, density_iters, avg_density_error = (
                 self._correct_density_error(
@@ -455,9 +465,19 @@ class DFSPHDenseSolver:
                     carry.prev_density_iterations, ctx, n,
                 )
             )
-        # dropped particles keep their uncorrected prediction
-        predicted = slots_to_sorted(pred_pad, ctx.slots, g, fallback=predicted)
-        kappa = slots_to_sorted(kappa_pad, ctx.slots, g)
+        # one packed unpad for (v*, kappa). Overflow-dropped particles have no
+        # slot: they fall back to a gravity-only prediction (their viscosity
+        # contribution is zero — they are in nobody's window), zero kappa; dead
+        # (padding) particles stay frozen (zero velocity, no gravity) — otherwise
+        # their free-fall would inflate the CFL v_max and decay dt.
+        fallback_pred = jnp.where(alive[:, None], velocities + gvec * dt, velocities)
+        pk = jnp.concatenate([pred_pad, kappa_pad[..., None]], axis=-1)
+        fb = jnp.concatenate(
+            [fallback_pred, jnp.zeros_like(fallback_pred[:, :1])], axis=1
+        )
+        pk_sorted = slots_to_sorted(pk, ctx.slots, g, fallback=fb)
+        predicted = pk_sorted[..., :2]
+        kappa = pk_sorted[..., 2]
 
         # --- advect + migrate (shard_map only) + re-sort + rebuild ctx
         # (dfsph.rs:499-512)
@@ -469,14 +489,23 @@ class DFSPHDenseSolver:
         )
         ctx = self._ctx(positions, sorted_keys, boundary)
 
-        # --- densities + alpha (dfsph.rs:516-518)
-        densities = self._density(ctx, boundary)
-        alpha = self._alpha(ctx, boundary)
+        # --- densities + alpha (dfsph.rs:516-518), one packed unpad
+        rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
+        da = jnp.stack([ctx.densities_pad, ctx.alpha_pad], axis=-1)
+        da_sorted = slots_to_sorted(
+            da, ctx.slots, g,
+            fallback=jnp.stack([rho0, jnp.zeros((), dtype=REAL)]),
+        )
+        densities = da_sorted[..., 0]
+        alpha = da_sorted[..., 1]
 
-        # --- divergence-free loop in padded layout (dfsph.rs:521)
-        pred_pad = pad_to_slots(predicted, ctx.slots, g)
+        # --- divergence-free loop in padded layout (dfsph.rs:521); v* and the
+        # stiffness warm-start share one slot gather (packing rationale above)
+        ps = jnp.concatenate([predicted, stiffness[:, None]], axis=1)
+        ps_pad = pad_to_slots(ps, ctx.slots, g)
+        pred_pad = ps_pad[..., :2]
+        stiff_pad = ps_pad[..., 2]
         alpha_pad = ctx.alpha_pad
-        stiff_pad = pad_to_slots(stiffness, ctx.slots, g)
         with jax.named_scope("DFSPH.correct_divergence_error"):
             pred_pad, stiff_pad, divergence_iters, avg_divergence = (
                 self._correct_divergence_error(
@@ -484,8 +513,13 @@ class DFSPHDenseSolver:
                     carry.prev_divergence_iterations, ctx, n,
                 )
             )
-        predicted = slots_to_sorted(pred_pad, ctx.slots, g, fallback=predicted)
-        stiffness = slots_to_sorted(stiff_pad, ctx.slots, g)
+        ps_out = jnp.concatenate([pred_pad, stiff_pad[..., None]], axis=-1)
+        fb_out = jnp.concatenate(
+            [predicted, jnp.zeros_like(predicted[:, :1])], axis=1
+        )
+        ps_sorted = slots_to_sorted(ps_out, ctx.slots, g, fallback=fb_out)
+        predicted = ps_sorted[..., :2]
+        stiffness = ps_sorted[..., 2]
 
         new_carry = DFSPHDenseCarry(
             particles=ParticleState(positions, predicted, densities, alive),
