@@ -198,7 +198,7 @@ def profile_dense(args):
     from yasph2d_tpu.ops.dense_grid import pad_to_slots
 
     v_pad = pad_to_slots(parts.velocities, ctx.slots, grid)
-    k_pad = pad_to_slots(carry.warmstart_kappa, ctx.slots, grid)
+    k_pad = carry.kappa_pad
 
     @jax.jit
     def stage_div(v):

@@ -127,3 +127,64 @@ def test_dense_solver_without_boundary():
     assert np.isfinite(np.asarray(carry.particles.positions)).all()
     # free-falling blob: densities clamp at rho0, no boundary drops
     assert np.asarray(carry.particles.densities).min() >= 100.0
+
+
+@pytest.mark.slow
+def test_rebuild_every_k_bounded_deviation():
+    """Opt-in k-step rebuild (rebuild_every > 1): stale steps keep the previous
+    cell assignment but refresh all pair geometry with true positions, so the
+    only physics deviation comes from pairs entering the support radius from
+    outside the stale 3x3 window. Per-particle trajectories diverge chaotically
+    (the dam-break's initial density shock drives |v| ~ 35 m/s, ~0.2 cells per
+    step), so the bound is on AGGREGATE observables over a 150-step adaptive
+    horizon: simulated time, center of mass, kinetic energy, compression."""
+    import dataclasses
+
+    world = small_dam_break(particle_density=1600.0)
+    _, dense, dense_grid = make_pair(
+        world, AdaptiveTimeStep(1 / 360, 1 / 24000, cfl_factor=1.5)
+    )
+    bd = world.boundary_dense(dense_grid)
+    h = world.properties.smoothing_length
+
+    def run(solver):
+        c = solver.init_carry(world.initial_state(), bd)
+        c, d = jax.jit(solver.simulate, static_argnums=2)(c, bd, 150)
+        return c, d
+
+    c1, d1 = run(dense)
+    c3, d3 = run(dataclasses.replace(dense, rebuild_every=3))
+    assert int(d1.neighbor_drops) == 0 and int(d3.neighbor_drops) == 0
+
+    p1, p3 = np.asarray(c1.particles.positions), np.asarray(c3.particles.positions)
+    v1, v3 = np.asarray(c1.particles.velocities), np.asarray(c3.particles.velocities)
+    rho3 = np.asarray(c3.particles.densities)
+    assert np.isfinite(p3).all() and np.isfinite(rho3).all()
+    # same simulated time within 2% (dt trajectories may differ slightly)
+    t1, t3 = float(c1.time.total_simulated_time), float(c3.time.total_simulated_time)
+    assert abs(t3 - t1) < 0.02 * t1
+    # center of mass within a fraction of h (measured ~0.001 h at k=3)
+    com = np.linalg.norm(p1.mean(0) - p3.mean(0))
+    assert com < 0.1 * h, f"k=3 center-of-mass drift {com} > 0.1 h"
+    # kinetic energy within 5% (measured ~0.03%)
+    ke1, ke3 = float(0.5 * (v1**2).sum()), float(0.5 * (v3**2).sum())
+    assert abs(ke3 - ke1) < 0.05 * ke1
+    # incompressibility and containment preserved
+    assert rho3.min() >= 100.0 and rho3.max() < 110.0
+    assert p3[:, 0].min() > -0.3 and p3[:, 0].max() < 2.3
+
+
+def test_rebuild_every_one_is_identical():
+    """rebuild_every=1 must be bit-identical to the default path (same trace)."""
+    import dataclasses
+
+    world = small_dam_break(particle_density=1600.0)
+    _, dense, dense_grid = make_pair(world, FixedTimeStep(1.0 / 3000.0))
+    bd = world.boundary_dense(dense_grid)
+    c0 = dense.init_carry(world.initial_state(), bd)
+    ka = dataclasses.replace(dense, rebuild_every=1)
+    ca, _ = jax.jit(dense.simulate, static_argnums=2)(c0, bd, 7)
+    cb, _ = jax.jit(ka.simulate, static_argnums=2)(c0, bd, 7)
+    np.testing.assert_array_equal(
+        np.asarray(ca.particles.positions), np.asarray(cb.particles.positions)
+    )

@@ -107,10 +107,21 @@ class DenseCtx(NamedTuple):
 
 
 class DFSPHDenseCarry(NamedTuple):
+    """Solver state between steps. Loop state is carried in BOTH layouts where
+    each is consumed: slot-pad gathers cost ~6 ms per million OUTPUT rows on TPU
+    (PERF.md round-2 trace), and the slot grid holds ~10x more slots than
+    particles, so every avoided pad matters. The divergence loop's padded output
+    IS next step's velocity input (the slot layout only changes at the mid-step
+    rebuild), so `v_pad`, `kappa_pad`, `stiff_pad` carry padded and the sorted
+    twins exist only where the sorted pipeline (advection/sort/scene API) needs
+    them."""
+
     particles: ParticleState  # sorted layout
     alpha: jax.Array  # (N,) sorted
-    warmstart_kappa: jax.Array  # (N,)
-    warmstart_stiffness: jax.Array  # (N,)
+    warmstart_stiffness: jax.Array  # (N,) sorted (rebuild re-pack input)
+    v_pad: jax.Array  # (ny, nx, P, 2) in ctx.slots layout (== velocities)
+    kappa_pad: jax.Array  # (ny, nx, P) in ctx.slots layout
+    stiff_pad: jax.Array  # (ny, nx, P) in ctx.slots layout (stale-step input)
     ctx: DenseCtx
     prev_density_iterations: jax.Array  # () int32
     prev_divergence_iterations: jax.Array  # () int32
@@ -130,6 +141,15 @@ class DFSPHDenseSolver:
     # (110 vs 87 ms/step): the cached path forgoes empty-block skipping and pays the
     # cache traffic. Kept as an option; default off.
     cache_loop_gradients: bool = False
+    # Re-sort + rebuild the slot grid every k-th step only (opt-in, Verlet-list
+    # style). Stale steps keep the previous cell assignment but refresh every
+    # position-dependent quantity (densities, alpha, gradient sums) with the TRUE
+    # advected positions, so pair GEOMETRY stays exact — only pairs that entered
+    # the support radius from OUTSIDE the stale 3x3 cell window are missed. CFL
+    # bounds per-step displacement to a fraction of a cell, so the miss window is
+    # narrow; the deviation is bounded by tests/test_dfsph_dense.py. The reference
+    # rebuilds every step (neighborhood_search.rs) — 1 is the conformance default.
+    rebuild_every: int = 1
     max_avg_density_error: float = 0.01 / 100.0
     max_density_iterations: int = 200
     max_divergence_error: float = 0.1 / 100.0
@@ -170,10 +190,18 @@ class DFSPHDenseSolver:
         dfsph.rs:68-97), and pair counts (deficiency guard, dfsph.rs:260-264).
         """
         g = self.grid
-        m = float(self.properties.particle_mass)  # python float: folds into fn traces
         with jax.named_scope("NeighborhoodSearch.update_dynamic"):
             slots = build_slot_grid(sorted_keys, g)
         pos_pad = pad_to_slots(sorted_positions, slots, g)
+        return self._ctx_from_slots(pos_pad, slots, boundary)
+
+    def _ctx_from_slots(self, pos_pad, slots: SlotGrid,
+                        boundary: BoundaryDense, dropped_base=None) -> DenseCtx:
+        """Pair-context build from an existing slot layout and already-padded
+        positions (the hot path packs positions into one wide slot gather with
+        the other rebuild-crossing state; see `step`)."""
+        g = self.grid
+        m = float(self.properties.particle_mass)  # python float: folds into fn traces
         mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
 
         def terms(ri_to_rj, r_sq, r):
@@ -205,6 +233,10 @@ class DFSPHDenseSolver:
                 pos_pad, mask, pos_pad, mask, g,
             )
 
+        if dropped_base is None:
+            # boundary drops are computed host-side on the FULL grid and arrive
+            # replicated — only the per-shard fluid drops need the global sum
+            dropped_base = self._sum_counts(slots.num_dropped) + boundary.num_dropped
         return DenseCtx(
             slots=slots,
             pos_pad=pos_pad,
@@ -214,9 +246,7 @@ class DFSPHDenseSolver:
             densities_pad=dens_pad,
             alpha_pad=alpha_pad,
             grad_dyn=grad_dyn,
-            # boundary drops are computed host-side on the FULL grid and arrive
-            # replicated — only the per-shard fluid drops need the global sum
-            num_dropped=self._sum_counts(slots.num_dropped) + boundary.num_dropped,
+            num_dropped=dropped_base,
         )
 
     # --------------------------------------------------------------- pair ops
@@ -389,11 +419,15 @@ class DFSPHDenseSolver:
         densities = self._density(ctx, boundary)
         alpha = self._alpha(ctx, boundary)
         n = state.positions.shape[0]
+        g = self.grid
+        zeros_pad = jnp.zeros((g.ny, g.nx, g.occupancy), dtype=REAL)
         return DFSPHDenseCarry(
             particles=state._replace(densities=densities),
             alpha=alpha,
-            warmstart_kappa=jnp.zeros((n,), dtype=REAL),
             warmstart_stiffness=jnp.zeros((n,), dtype=REAL),
+            v_pad=pad_to_slots(state.velocities, ctx.slots, g),
+            kappa_pad=zeros_pad,
+            stiff_pad=zeros_pad,
             ctx=ctx,
             prev_density_iterations=jnp.int32(1),
             prev_divergence_iterations=jnp.int32(0),
@@ -402,9 +436,11 @@ class DFSPHDenseSolver:
 
     # -------------------------------------------------------------------- step
 
-    def step(self, carry: DFSPHDenseCarry, boundary: BoundaryDense):
+    def step(self, carry: DFSPHDenseCarry, boundary: BoundaryDense,
+             rebuild: bool = True):
         """One simulation step; ordering identical to models/dfsph.py `step`
-        (reference: dfsph.rs:414-525)."""
+        (reference: dfsph.rs:414-525). `rebuild` is STATIC: False skips the
+        re-sort / slot rebuild / migration (rebuild_every > 1 stale steps)."""
         g = self.grid
         particles = carry.particles
         positions, velocities, densities, alive = particles
@@ -417,15 +453,11 @@ class DFSPHDenseSolver:
         m = self.properties.particle_mass
 
         # --- non-pressure forces (gravity + viscosity, dynamic neighbors only)
-        # velocities + warmstart kappa share one slot gather: separate pads cost
-        # 1.6 + 7.8 ms at 100k (scalar gathers lower poorly, see PERF.md round-2
-        # trace); the packed (N, 3) gather costs one vector pad
-        vk = jnp.concatenate(
-            [velocities, carry.warmstart_kappa[:, None]], axis=1
-        )
-        vk_pad = pad_to_slots(vk, ctx.slots, g)
-        v_pad = vk_pad[..., :2]
-        kappa_pad = vk_pad[..., 2]
+        # velocities and the kappa warm-start arrive PADDED from the carry (they
+        # were produced in this very slot layout by the previous step's loops):
+        # zero slot gathers to start the step
+        v_pad = carry.v_pad
+        kappa_pad = carry.kappa_pad
         rho_pad = ctx.densities_pad  # carried from last rebuild (== particles.densities)
 
         def visc(ri_to_rj, r_sq, r, dt_s, v_i, v_j, rho_j):
@@ -480,14 +512,41 @@ class DFSPHDenseSolver:
         kappa = pk_sorted[..., 2]
 
         # --- advect + migrate (shard_map only) + re-sort + rebuild ctx
-        # (dfsph.rs:499-512)
+        # (dfsph.rs:499-512); stale steps (rebuild=False) keep the sort order and
+        # slot assignment and only refresh the position-dependent pair context
         positions = positions + predicted * dt
-        tree = (positions, predicted, kappa, carry.warmstart_stiffness, alive)
-        tree, migration_drops = self._migrate(tree, positions, alive)
-        (positions, predicted, kappa, stiffness, alive), sorted_keys = self._sort(
-            tree, tree[0], tree[4],
-        )
-        ctx = self._ctx(positions, sorted_keys, boundary)
+        if rebuild:
+            # every array that crosses the rebuild travels in ONE f32 matrix:
+            # slot-pad gather cost scales with OUTPUT ROWS, not columns (PERF.md),
+            # so [pos(2) | v*(2) | kappa | stiffness] pays a single gather
+            packed = jnp.concatenate(
+                [positions, predicted, kappa[:, None],
+                 carry.warmstart_stiffness[:, None]], axis=1,
+            )
+            tree = (packed, alive)
+            tree, migration_drops = self._migrate(tree, positions, alive)
+            (packed, alive), sorted_keys = self._sort(
+                tree, tree[0][:, :2], tree[1]
+            )
+            positions = packed[:, :2]
+            predicted = packed[:, 2:4]
+            with jax.named_scope("NeighborhoodSearch.update_dynamic"):
+                slots = build_slot_grid(sorted_keys, g)
+            pad6 = pad_to_slots(packed, slots, g)  # (ny, nx, P, 6)
+            pos_pad = pad6[..., :2]
+            pred_pad = pad6[..., 2:4]
+            kappa_pad = pad6[..., 4]  # next step's density warm-start, new slots
+            stiff_pad = pad6[..., 5]
+            ctx = self._ctx_from_slots(pos_pad, slots, boundary)
+        else:
+            migration_drops = jnp.zeros((), dtype=jnp.int32)
+            # slots unchanged: advect the padded positions in place; the density
+            # loop's padded v* and the carried padded warm-starts remain valid
+            pos_pad = ctx.pos_pad + pred_pad * dt
+            stiff_pad = carry.stiff_pad
+            ctx = self._ctx_from_slots(
+                pos_pad, ctx.slots, boundary, dropped_base=ctx.num_dropped
+            )
 
         # --- densities + alpha (dfsph.rs:516-518), one packed unpad
         rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
@@ -499,12 +558,7 @@ class DFSPHDenseSolver:
         densities = da_sorted[..., 0]
         alpha = da_sorted[..., 1]
 
-        # --- divergence-free loop in padded layout (dfsph.rs:521); v* and the
-        # stiffness warm-start share one slot gather (packing rationale above)
-        ps = jnp.concatenate([predicted, stiffness[:, None]], axis=1)
-        ps_pad = pad_to_slots(ps, ctx.slots, g)
-        pred_pad = ps_pad[..., :2]
-        stiff_pad = ps_pad[..., 2]
+        # --- divergence-free loop in padded layout (dfsph.rs:521)
         alpha_pad = ctx.alpha_pad
         with jax.named_scope("DFSPH.correct_divergence_error"):
             pred_pad, stiff_pad, divergence_iters, avg_divergence = (
@@ -524,8 +578,10 @@ class DFSPHDenseSolver:
         new_carry = DFSPHDenseCarry(
             particles=ParticleState(positions, predicted, densities, alive),
             alpha=alpha,
-            warmstart_kappa=kappa,
             warmstart_stiffness=stiffness,
+            v_pad=pred_pad,  # next step consumes it in this exact slot layout
+            kappa_pad=kappa_pad,
+            stiff_pad=stiff_pad,
             ctx=ctx,
             prev_density_iterations=density_iters,
             prev_divergence_iterations=divergence_iters,
@@ -550,12 +606,27 @@ class DFSPHDenseSolver:
     def simulate(self, carry: DFSPHDenseCarry, boundary: BoundaryDense, num_steps: int):
         """Run `num_steps` steps on device. The returned Diagnostics AGGREGATES
         across all steps (Diagnostics.accumulate): a one-step cell overflow or
-        residual spike anywhere in the run is visible in the result."""
+        residual spike anywhere in the run is visible in the result.
+
+        With rebuild_every == k > 1, steps run in blocks of one rebuild step
+        followed by k-1 stale steps (python-unrolled inside the jit); any
+        remainder steps rebuild unconditionally."""
+
+        def one(c, agg, rebuild):
+            c = c._replace(time=c.time.account_step())
+            c, diag = self.step(c, boundary, rebuild=rebuild)
+            return c, agg.accumulate(diag)
+
+        k = max(int(self.rebuild_every), 1)
 
         def body(_, loop_carry):
             c, agg = loop_carry
-            c = c._replace(time=c.time.account_step())
-            c, diag = self.step(c, boundary)
-            return c, agg.accumulate(diag)
+            for j in range(k):
+                c, agg = one(c, agg, rebuild=(j == 0))
+            return c, agg
 
-        return jax.lax.fori_loop(0, num_steps, body, (carry, Diagnostics.zeros()))
+        n_blocks, rem = divmod(num_steps, k)
+        out = jax.lax.fori_loop(0, n_blocks, body, (carry, Diagnostics.zeros()))
+        for _ in range(rem):
+            out = one(out[0], out[1], rebuild=True)
+        return out
