@@ -18,6 +18,8 @@ Env knobs:
   YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default 16)
   YASPH_BENCH_PAIR_DTYPE float32 | bfloat16 (default per PERF.md measurements)
   YASPH_BENCH_PALLAS     1 = run pair passes through the Pallas kernel
+  YASPH_BENCH_REBUILD_EVERY  k-step neighbor rebuild (default 1 = conformance;
+                             k>1 is the opt-in Verlet-style mode, see PERF.md)
 """
 
 import dataclasses
@@ -93,6 +95,7 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
         solver = DFSPHDenseSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,
+            rebuild_every=int(os.environ.get("YASPH_BENCH_REBUILD_EVERY", 1)),
         )
         boundary = world.boundary_dense(grid)
         _log(f"dense grid: {grid.nx}x{grid.ny} cells, occupancy {grid.occupancy}, "
