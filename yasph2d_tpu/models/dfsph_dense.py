@@ -518,21 +518,31 @@ class DFSPHDenseSolver:
         if rebuild:
             # every array that crosses the rebuild travels in ONE f32 matrix:
             # slot-pad gather cost scales with OUTPUT ROWS, not columns (PERF.md),
-            # so [pos(2) | v*(2) | kappa | stiffness] pays a single gather
+            # so [pos(2) | v*(2) | kappa | stiffness | alive] pays a single
+            # gather; alive rides as an f32 0/1 column so the re-sort permutes
+            # ONE matrix (a separate bool leaf cost its own 10 ms gather at 1M)
             packed = jnp.concatenate(
                 [positions, predicted, kappa[:, None],
-                 carry.warmstart_stiffness[:, None]], axis=1,
+                 carry.warmstart_stiffness[:, None],
+                 alive.astype(REAL)[:, None]], axis=1,
             )
             tree = (packed, alive)
             tree, migration_drops = self._migrate(tree, positions, alive)
-            (packed, alive), sorted_keys = self._sort(
-                tree, tree[0][:, :2], tree[1]
+            packed_m, alive_m = tree
+            # migration may deaden sent-away rows: refresh the alive column
+            packed_m = jnp.concatenate(
+                [packed_m[:, :6], alive_m.astype(REAL)[:, None]], axis=1
             )
+            (packed,), sorted_keys = self._sort(
+                (packed_m,), packed_m[:, :2], alive_m
+            )
+            alive = packed[:, 6] > 0.5
             positions = packed[:, :2]
             predicted = packed[:, 2:4]
             with jax.named_scope("NeighborhoodSearch.update_dynamic"):
                 slots = build_slot_grid(sorted_keys, g)
-            pad6 = pad_to_slots(packed, slots, g)  # (ny, nx, P, 6)
+            # banded gather skips empty cell-row bands (most of the domain is air)
+            pad6 = pad_to_slots(packed[:, :6], slots, g, row_block=g.row_block)
             pos_pad = pad6[..., :2]
             pred_pad = pad6[..., 2:4]
             kappa_pad = pad6[..., 4]  # next step's density warm-start, new slots

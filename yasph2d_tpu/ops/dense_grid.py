@@ -197,16 +197,58 @@ def sort_by_dense_keys(pytree, positions: jax.Array, grid: DenseGridConfig,
     return jax.tree_util.tree_map(lambda a: a[perm], pytree), sorted_keys
 
 
-def pad_to_slots(values: jax.Array, slots: SlotGrid, grid: DenseGridConfig):
+def pad_to_slots(values: jax.Array, slots: SlotGrid, grid: DenseGridConfig,
+                 row_block: int = None):
     """Sorted per-particle values (N, ...) -> padded (ny, nx, P, ...); masked slots
     hold the value at a clamped index (callers must mask). An empty index space
     (N == 0, e.g. a scene without boundary particles) yields zeros — its slot mask
-    is all-false so the values never matter."""
+    is all-false so the values never matter.
+
+    `row_block`: chunk the gather over cell-row bands and SKIP bands with no live
+    slots (their output is zeros — callers mask anyway). Slot-pad gather cost
+    scales with output rows and the slot grid holds ~10x more slots than particles
+    at large scales where most of the domain is empty air, so band skipping cuts
+    the dominant rebuild gather roughly by the empty-band fraction (PERF.md).
+    """
     shape = (grid.ny, grid.nx, grid.occupancy) + values.shape[1:]
     if values.shape[0] == 0:
         return jnp.zeros(shape, dtype=values.dtype)
-    padded = values[slots.slot_idx]  # (C, P, ...)
-    return padded.reshape(shape)
+    if row_block is None or row_block >= grid.ny:
+        padded = values[slots.slot_idx]  # (C, P, ...)
+        return padded.reshape(shape)
+
+    rb = row_block
+    nbr = -(-grid.ny // rb)
+    rows_pad = nbr * rb
+    idx = slots.slot_idx.reshape(grid.ny, grid.nx, grid.occupancy)
+    msk = slots.slot_mask.reshape(grid.ny, grid.nx, grid.occupancy)
+    if rows_pad != grid.ny:
+        extra = rows_pad - grid.ny
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((extra, grid.nx, grid.occupancy), idx.dtype)], axis=0
+        )
+        msk = jnp.concatenate(
+            [msk, jnp.zeros((extra, grid.nx, grid.occupancy), bool)], axis=0
+        )
+    idx_b = idx.reshape(nbr, rb, grid.nx, grid.occupancy)
+    msk_b = msk.reshape(nbr, rb, grid.nx, grid.occupancy)
+
+    def body(args):
+        i_b, m_b = args
+
+        def run(_):
+            return values[i_b]
+
+        def skip(_):
+            return jnp.zeros(
+                (rb, grid.nx, grid.occupancy) + values.shape[1:], values.dtype
+            )
+
+        return jax.lax.cond(jnp.any(m_b), run, skip, None)
+
+    out = jax.lax.map(body, (idx_b, msk_b))
+    out = out.reshape((rows_pad, grid.nx, grid.occupancy) + values.shape[1:])
+    return out[: grid.ny]
 
 
 def slots_to_sorted(padded: jax.Array, slots: SlotGrid, grid: DenseGridConfig,
