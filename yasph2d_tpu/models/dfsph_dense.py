@@ -558,17 +558,8 @@ class DFSPHDenseSolver:
                 pos_pad, ctx.slots, boundary, dropped_base=ctx.num_dropped
             )
 
-        # --- densities + alpha (dfsph.rs:516-518), one packed unpad
-        rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
-        da = jnp.stack([ctx.densities_pad, ctx.alpha_pad], axis=-1)
-        da_sorted = slots_to_sorted(
-            da, ctx.slots, g,
-            fallback=jnp.stack([rho0, jnp.zeros((), dtype=REAL)]),
-        )
-        densities = da_sorted[..., 0]
-        alpha = da_sorted[..., 1]
-
-        # --- divergence-free loop in padded layout (dfsph.rs:521)
+        # --- divergence-free loop in padded layout (dfsph.rs:521); the
+        # densities/alpha unpad (dfsph.rs:516-518) shares the post-loop gather
         alpha_pad = ctx.alpha_pad
         with jax.named_scope("DFSPH.correct_divergence_error"):
             pred_pad, stiff_pad, divergence_iters, avg_divergence = (
@@ -577,13 +568,22 @@ class DFSPHDenseSolver:
                     carry.prev_divergence_iterations, ctx, n,
                 )
             )
-        ps_out = jnp.concatenate([pred_pad, stiff_pad[..., None]], axis=-1)
-        fb_out = jnp.concatenate(
-            [predicted, jnp.zeros_like(predicted[:, :1])], axis=1
+        # ONE packed unpad for everything leaving slot layout this step:
+        # [v*(2) | stiffness | density | alpha] (all in the post-rebuild slots)
+        rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
+        out_pad = jnp.concatenate(
+            [pred_pad, stiff_pad[..., None], ctx.densities_pad[..., None],
+             ctx.alpha_pad[..., None]], axis=-1,
         )
-        ps_sorted = slots_to_sorted(ps_out, ctx.slots, g, fallback=fb_out)
-        predicted = ps_sorted[..., :2]
-        stiffness = ps_sorted[..., 2]
+        zeros1 = jnp.zeros_like(predicted[:, :1])
+        fb_out = jnp.concatenate(
+            [predicted, zeros1, jnp.full_like(zeros1, rho0), zeros1], axis=1
+        )
+        out_sorted = slots_to_sorted(out_pad, ctx.slots, g, fallback=fb_out)
+        predicted = out_sorted[..., :2]
+        stiffness = out_sorted[..., 2]
+        densities = out_sorted[..., 3]
+        alpha = out_sorted[..., 4]
 
         new_carry = DFSPHDenseCarry(
             particles=ParticleState(positions, predicted, densities, alive),
