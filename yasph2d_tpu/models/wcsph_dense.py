@@ -105,12 +105,21 @@ class WCSPHDenseSolver:
         positions = particles.positions + velocities * dt
 
         # sort + slot rebuild (dead padding particles get sentinel keys and leave
-        # the grid entirely)
-        (positions, velocities, alive), sorted_keys = self._sort(
-            (positions, velocities, alive), positions, alive
+        # the grid entirely). One packed matrix through the sort and ONE banded
+        # slot gather for [pos | v] — same gather-cost findings as the DFSPH
+        # dense solver (PERF.md round 2: gather cost scales with output rows;
+        # empty air bands skip entirely).
+        packed = jnp.concatenate(
+            [positions, velocities, alive.astype(REAL)[:, None]], axis=1
         )
+        (packed,), sorted_keys = self._sort((packed,), packed[:, :2], alive)
+        positions = packed[:, :2]
+        velocities = packed[:, 2:4]
+        alive = packed[:, 4] > 0.5
         slots = build_slot_grid(sorted_keys, g)
-        pos_pad = pad_to_slots(positions, slots, g)
+        pv_pad = pad_to_slots(packed[:, :4], slots, g, row_block=g.row_block)
+        pos_pad = pv_pad[..., :2]
+        v_pad = pv_pad[..., 2:4]
         mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
 
         # density pass (Poly6, self-contribution, clamp; fluidparticleworld.rs:197-231)
@@ -132,12 +141,10 @@ class WCSPHDenseSolver:
         zero = jnp.zeros((), dtype=REAL)
         dens_pad = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat["w"])
         dens_pad = jnp.maximum(dens_pad, jnp.asarray(rho0, REAL))
-        densities = slots_to_sorted(dens_pad, slots, g, fallback=jnp.asarray(rho0, REAL))
 
         # force pass: symmetric pressure + viscosity over dynamic neighbors
         # (wscsph.rs:59-105), Monaghan-Kajtar boundary force (wscsph.rs:108-116)
         pres_pad = tait_pressure(self.stiffness, rho0, dens_pad)
-        v_pad = pad_to_slots(velocities, slots, g)
 
         def dyn_forces(ri_to_rj, r_sq, r, dt_s, p_i, rho_i, v_i, p_j, rho_j, v_j):
             coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
@@ -152,9 +159,15 @@ class WCSPHDenseSolver:
             query_values=(pres_pad, dens_pad, v_pad),
             scalar_args=(dt,),
         ) + stat["force"]
-        accel = slots_to_sorted(accel_pad, slots, g) + jnp.asarray(
-            self.gravity, dtype=REAL
-        )[None, :]
+        # ONE packed unpad for [accel | density]
+        out_pad = jnp.concatenate([accel_pad, dens_pad[..., None]], axis=-1)
+        zeros1 = jnp.zeros_like(positions[:, :1])
+        fb = jnp.concatenate(
+            [zeros1, zeros1, jnp.full_like(zeros1, rho0)], axis=1
+        )
+        out = slots_to_sorted(out_pad, slots, g, fallback=fb)
+        densities = out[..., 2]
+        accel = out[..., :2] + jnp.asarray(self.gravity, dtype=REAL)[None, :]
         # dead (padding) particles are frozen: no gravity, no advection
         accel = jnp.where(alive[:, None], accel, 0.0)
 
