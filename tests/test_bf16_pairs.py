@@ -107,7 +107,8 @@ def test_bf16_dfsph_tracks_f32_and_stays_incompressible():
 
     # longer run: stable, incompressible, residual loops converge (exit criterion
     # enforces the reference tolerances; cap-hit would show as 200*steps iterations)
-    c16, d16 = jax.jit(s16.simulate, static_argnums=2)(c16, boundary, 90)
+    # (50 steps: long enough for a cap-hit blowup to be unmistakable)
+    c16, d16 = jax.jit(s16.simulate, static_argnums=2)(c16, boundary, 50)
     rho = np.asarray(c16.particles.densities)
     assert np.isfinite(np.asarray(c16.particles.positions)).all()
     assert rho.min() >= 100.0 and rho.max() < 111.0

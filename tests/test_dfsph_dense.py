@@ -136,7 +136,7 @@ def test_rebuild_every_k_bounded_deviation():
     only physics deviation comes from pairs entering the support radius from
     outside the stale 3x3 window. Per-particle trajectories diverge chaotically
     (the dam-break's initial density shock drives |v| ~ 35 m/s, ~0.2 cells per
-    step), so the bound is on AGGREGATE observables over a 150-step adaptive
+    step), so the bound is on AGGREGATE observables over a 100-step adaptive
     horizon: simulated time, center of mass, kinetic energy, compression."""
     import dataclasses
 
@@ -149,7 +149,7 @@ def test_rebuild_every_k_bounded_deviation():
 
     def run(solver):
         c = solver.init_carry(world.initial_state(), bd)
-        c, d = jax.jit(solver.simulate, static_argnums=2)(c, bd, 150)
+        c, d = jax.jit(solver.simulate, static_argnums=2)(c, bd, 100)
         return c, d
 
     c1, d1 = run(dense)

@@ -213,7 +213,11 @@ def pad_to_slots(values: jax.Array, slots: SlotGrid, grid: DenseGridConfig,
     shape = (grid.ny, grid.nx, grid.occupancy) + values.shape[1:]
     if values.shape[0] == 0:
         return jnp.zeros(shape, dtype=values.dtype)
-    if row_block is None or row_block >= grid.ny:
+    # Band skipping pays at production scales (measured: 26.1 vs 29.5 ms/step at
+    # 100k = 1.17M slots, 64.9 -> 26.8 ms for the rebuild gather at 1M); below
+    # ~1M slots (test-sized grids) the per-band lax.map overhead dominates.
+    if (row_block is None or row_block >= grid.ny
+            or grid.num_cells * grid.occupancy < 1_000_000):
         padded = values[slots.slot_idx]  # (C, P, ...)
         return padded.reshape(shape)
 
