@@ -135,6 +135,10 @@ class SolverConfig:
     # None: fit the boundary slot axis to its exact max cell occupancy
     dense_boundary_occupancy: Optional[int] = None
     dense_ny_multiple: int = 1
+    # k-step neighbor rebuild (dense DFSPH only): 1 = conformance (the reference
+    # rebuilds every step); k > 1 is the opt-in Verlet-style speed mode, see
+    # PERF.md and models/dfsph_dense.py for the bounded-deviation contract
+    rebuild_every: int = 1
 
 
 @dataclass(frozen=True)
@@ -309,6 +313,7 @@ class SimulationConfig:
                 max_divergence_error=sc.max_divergence_error,
                 max_divergence_iterations=sc.max_divergence_iterations,
                 gravity=self.gravity,
+                rebuild_every=sc.rebuild_every,
             )
             boundary = world.boundary_dense(grid, sc.dense_boundary_occupancy)
             carry = solver.init_carry(world.initial_state(), boundary)
