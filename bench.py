@@ -120,7 +120,9 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
     # Compile ONE chunk size and reuse it for warm-up and timing (the remote-compile
     # path can be slow; avoid a second compile for a different static step count).
     chunk = 10
-    simulate = jax.jit(solver.simulate, static_argnums=2)
+    # donate the carry: at 1M it holds ~300 MB of padded state that would
+    # otherwise be copied on every chunk boundary
+    simulate = jax.jit(solver.simulate, static_argnums=2, donate_argnums=0)
     t0 = time.perf_counter()
     carry, _ = simulate(carry, boundary, chunk)
     _ = float(carry.time.total_simulated_time)
