@@ -86,8 +86,10 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
         grid = world.dense_grid(
             occupancy=int(os.environ.get("YASPH_BENCH_OCCUPANCY", 7))
         )
+        cb = os.environ.get("YASPH_BENCH_COL_BLOCK")
         grid = dataclasses.replace(
             grid,
+            col_block=int(cb) if cb else None,
             row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", 16)),
             use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),

@@ -66,3 +66,21 @@ def test_physical_viscosity_and_adaptive():
     carry, diag = jax.jit(solver.simulate, static_argnums=2)(carry, boundary, 5)
     assert np.isfinite(np.asarray(carry.particles.positions)).all()
     assert float(diag.dt) > 0
+
+
+def test_rebuild_every_roundtrip_and_build(tmp_path):
+    import dataclasses
+    import jax
+    import numpy as np
+
+    cfg = SimulationConfig(
+        solver=dataclasses.replace(SimulationConfig().solver, rebuild_every=2)
+    )
+    path = tmp_path / "cfg.json"
+    cfg.to_json(str(path))
+    cfg2 = SimulationConfig.from_json(str(path))
+    assert cfg2.solver.rebuild_every == 2
+    world, solver, boundary, carry = cfg2.build()
+    assert solver.rebuild_every == 2
+    carry, diag = jax.jit(solver.simulate, static_argnums=2)(carry, boundary, 4)
+    assert np.isfinite(np.asarray(carry.particles.positions)).all()

@@ -133,3 +133,44 @@ def test_dense_pair_reduce_with_values_matches_brute_force():
     dv = v[:, None, :] - v[None, :, :]
     expected = np.where(live, (dv * grad).sum(-1), 0.0).sum(1)
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_banded_pad_matches_plain_gather():
+    """pad_to_slots(row_block=...) must equal the plain gather at every LIVE slot
+    and produce zeros in fully-empty bands (the skipped branches). Uses a grid
+    above the 1M-slot banding threshold with particles clustered in a few rows so
+    both skipped and non-skipped bands are exercised."""
+    import jax.numpy as jnp
+    import numpy as np
+    from yasph2d_tpu.ops.dense_grid import (
+        DenseGridConfig, build_slot_grid, cell_keys, pad_to_slots,
+    )
+
+    grid = DenseGridConfig(cell_size=0.1, origin=(0.0, 0.0), nx=420, ny=352,
+                           occupancy=7, row_block=16)
+    assert grid.num_cells * grid.occupancy >= 1_000_000  # banding active
+    rng = np.random.default_rng(7)
+    n = 5000
+    # particles only in rows [32, 64) and [200, 216): most bands are empty
+    ys = np.concatenate([
+        rng.uniform(3.2, 6.4, size=n // 2), rng.uniform(20.0, 21.6, size=n - n // 2)
+    ])
+    pos = jnp.asarray(
+        np.stack([rng.uniform(0, 42.0, size=n), ys], axis=1).astype(np.float32)
+    )
+    keys = np.asarray(cell_keys(pos, grid))
+    order = np.argsort(keys)
+    sorted_pos = pos[jnp.asarray(order)]
+    slots = build_slot_grid(jnp.asarray(keys[order]), grid)
+
+    vals = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    plain = np.asarray(pad_to_slots(vals, slots, grid))
+    banded = np.asarray(pad_to_slots(vals, slots, grid, row_block=grid.row_block))
+
+    mask = np.asarray(slots.slot_mask).reshape(grid.ny, grid.nx, grid.occupancy)
+    np.testing.assert_array_equal(banded[mask], plain[mask])
+    # fully-empty bands are exact zeros in the banded output
+    band_live = mask.reshape(-1, 16, grid.nx, grid.occupancy).any(axis=(1, 2, 3))
+    empty_bands = banded.reshape(-1, 16, grid.nx, grid.occupancy, 3)[~band_live]
+    assert not band_live.all() and band_live.any()
+    np.testing.assert_array_equal(empty_bands, np.zeros_like(empty_bands))
