@@ -215,7 +215,10 @@ class DFSPHDenseSolver:
 
         with jax.named_scope("FluidParticleWorld.update_densities+alpha"):
             dyn = self._reduce(terms, pos_pad, mask, pos_pad, mask, g)
-            stat = self._reduce(terms, pos_pad, mask, boundary.pos_pad, boundary.mask, g)
+            gb = g
+            if g.boundary_col_block is not None:
+                gb = dataclasses.replace(g, col_block=g.boundary_col_block)
+            stat = self._reduce(terms, pos_pad, mask, boundary.pos_pad, boundary.mask, gb)
 
         zero = jnp.zeros((), dtype=REAL)
         dens_pad = m * (self.kernel.evaluate(zero, zero) + dyn["w"] + stat["w"])

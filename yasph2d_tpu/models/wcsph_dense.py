@@ -136,8 +136,13 @@ class WCSPHDenseSolver:
                 "force": c[..., None] * ri_to_rj,
             }
 
+        gb = g
+        if g.boundary_col_block is not None:
+            import dataclasses as _dc
+
+            gb = _dc.replace(g, col_block=g.boundary_col_block)
         stat = self._reduce(stat_terms, pos_pad, mask, boundary.pos_pad,
-                            boundary.mask, g)
+                            boundary.mask, gb)
         zero = jnp.zeros((), dtype=REAL)
         dens_pad = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat["w"])
         dens_pad = jnp.maximum(dens_pad, jnp.asarray(rho0, REAL))

@@ -57,6 +57,12 @@ class DenseGridConfig:
     # None = no chunking along that axis.
     row_block: int = 16
     col_block: int = None
+    # Column blocking for the fluid-vs-boundary pass ONLY: boundary particles
+    # occupy a thin shell (walls ~3 columns wide + floor), so most of a live
+    # band's tiles see no boundary at all and skip (1M: 238 -> 233 ms/step).
+    # General-pass column blocking measured counterproductive at every scale
+    # (PERF.md); None disables.
+    boundary_col_block: int = 256
     # Run pair passes through the Pallas TPU kernel (ops/pallas_pair.py) instead of
     # the XLA lax.map path. Same math, VMEM-resident windows.
     use_pallas: bool = False
