@@ -1,7 +1,8 @@
 """Whole-step benchmark: DFSPH particle-steps/sec on the real device.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-`value` is the 100k-particle result (BASELINE.json config 4); `extra.sizes` carries
+`value` is the 1M-particle result (the size the BASELINE.json north star of 1e9
+particle-steps/sec is defined at); `extra.sizes` carries
 the full BASELINE.md matrix — particle-steps/sec at 10k / 100k / 1M plus the DFSPH
 iterations-to-tolerance (mean density / divergence loop iterations per step) and
 the across-ALL-steps neighbor-drop count (must be 0; physics is degraded otherwise).
@@ -179,8 +180,10 @@ def main():
         _log(f"=== size {target} ===")
         results[str(target)] = bench_one(target, num_steps, backend)
 
-    # headline: 100k (BASELINE.json config 4) if present, else the largest size run
-    headline_key = "100000" if "100000" in results else str(sizes[-1])
+    # headline: 1M — the size the BASELINE.json north star (1e9 p-s/s at 1M
+    # particles) is defined at; falls back to the largest size run. The full
+    # matrix (10k/100k/1M) is always in extra.sizes.
+    headline_key = "1000000" if "1000000" in results else str(sizes[-1])
     headline = results[headline_key]
     value = headline["particle_steps_per_sec"]
     print(

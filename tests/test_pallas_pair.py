@@ -1,10 +1,10 @@
-import pytest
 """Pallas pair kernel vs the XLA pair_reduce path (interpret mode on CPU).
 
 Summation order differs (Pallas accumulates per neighbor-cell window; XLA reduces
 one 9P axis), so agreement is to float32 tolerance, not bitwise.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp

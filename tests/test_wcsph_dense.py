@@ -1,6 +1,6 @@
-import pytest
 """Dense-layout WCSPH: cross-validation against the faithful table solver."""
 
+import pytest
 import numpy as np
 import jax
 

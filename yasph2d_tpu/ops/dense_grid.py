@@ -27,7 +27,7 @@ zero-padding rows become one-cell-row halos exchanged with `lax.ppermute`.
 """
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,14 +55,14 @@ class DenseGridConfig:
     # granularity of empty-tile skipping — tiles with no live query or source slots
     # are skipped with lax.cond. row_block 16 measured ~15% faster than 64 at 100k.
     # None = no chunking along that axis.
-    row_block: int = 16
-    col_block: int = None
+    row_block: Optional[int] = 16
+    col_block: Optional[int] = None
     # Column blocking for the fluid-vs-boundary pass ONLY: boundary particles
     # occupy a thin shell (walls ~3 columns wide + floor), so most of a live
     # band's tiles see no boundary at all and skip (1M: 238 -> 233 ms/step).
     # General-pass column blocking measured counterproductive at every scale
     # (PERF.md); None disables.
-    boundary_col_block: int = 256
+    boundary_col_block: Optional[int] = 256
     # Run pair passes through the Pallas TPU kernel (ops/pallas_pair.py) instead of
     # the XLA lax.map path. Same math, VMEM-resident windows.
     use_pallas: bool = False
@@ -83,7 +83,7 @@ class DenseGridConfig:
     # ny_global / n_shards) running inside `shard_map`, and pair_reduce fetches its
     # +-1 source cell rows from the neighbor shards with `lax.ppermute` instead of
     # zero-padding — the one-cell halo exchange of SURVEY.md section 7 stage 8.
-    halo_axis: tuple = None
+    halo_axis: Optional[Tuple[str, int]] = None
 
     @property
     def pair_jnp_dtype(self):
@@ -458,8 +458,10 @@ def pair_reduce(
     accumulate float32, so every output leaf is float32 either way.
     """
     ny, nx = query_padded_pos.shape[:2]
-    rb = grid.row_block or ny
-    cb = grid.col_block or nx
+    rb = min(grid.row_block or ny, ny)
+    # clamp to nx: a col_block wider than the grid (e.g. boundary_col_block=256 on
+    # a narrow test scene) would pad dead columns into every tile
+    cb = min(grid.col_block or nx, nx)
 
     dtype = grid.pair_jnp_dtype
     relative = dtype != REAL

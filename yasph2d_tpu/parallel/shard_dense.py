@@ -131,8 +131,12 @@ class DFSPHShardMapSolver(DFSPHDenseSolver):
     def _count_live(self, alive):
         return jax.lax.psum(jnp.sum(alive).astype(REAL), self._axis)
 
-    def _max_velocity(self, v_estimate, alive):
-        v_est_sq = jnp.where(alive, jnp.sum(v_estimate * v_estimate, axis=-1), 0.0)
+    def _max_velocity(self, vstar_pad, mask):
+        """CFL estimate over live PADDED slots, maxed across shards. Same
+        semantics as the base class (dfsph_dense.py): overflow-dropped particles
+        are excluded — they receive gravity-only predictions and no pair forces,
+        so they cannot exceed the live max by more than one gravity kick."""
+        v_est_sq = jnp.where(mask, jnp.sum(vstar_pad * vstar_pad, axis=-1), 0.0)
         return jnp.sqrt(jax.lax.pmax(jnp.max(v_est_sq), self._axis))
 
     def _sum_counts(self, count):
@@ -143,7 +147,15 @@ class DFSPHShardMapSolver(DFSPHDenseSolver):
     def _migrate(self, tree, positions, alive):
         """Bounded particle migration to adjacent shards (the 'bounded per-step
         send buffers' of SURVEY.md §5). tree = (*data_leaves, alive); both
-        directions move at most `migration_slots` particles per step."""
+        directions move at most `migration_slots` particles per step.
+
+        Migration runs only on REBUILD steps (the base step() calls _migrate
+        inside the `if rebuild:` branch): with rebuild_every > 1, particles that
+        advect past the shard's row slice on a stale step stay on the old shard,
+        clamped into its border cells, until the next rebuild — the same bounded
+        staleness the single-device solver accepts for cell assignment
+        (DFSPHDenseSolver.rebuild_every), bounded by tests/test_shard_dense.py's
+        stale-rebuild parity test."""
         g = self.grid
         axis, n_shards = g.halo_axis
         m = self.migration_slots
