@@ -30,6 +30,11 @@ TRACE_DIR = "/tmp/yasph_trace"
 
 
 def main():
+    # fresh capture dir: stale sessions from earlier runs would otherwise be
+    # globbed into the summary and pollute the per-op totals
+    import shutil
+
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
     target = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     world = double_dam_break(target)
     grid = dataclasses.replace(world.dense_grid(occupancy=7), row_block=16)
