@@ -1,5 +1,6 @@
 """Dense padded cell grid: slot layout invariants + pair reductions vs brute force."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -174,3 +175,119 @@ def test_banded_pad_matches_plain_gather():
     empty_bands = banded.reshape(-1, 16, grid.nx, grid.occupancy, 3)[~band_live]
     assert not band_live.all() and band_live.any()
     np.testing.assert_array_equal(empty_bands, np.zeros_like(empty_bands))
+
+
+# ---------------------------------------------------------------- rebucket
+
+def _random_padded_layout(rng, grid, n):
+    """Random particles -> sorted -> padded layout (the rebucket precondition)."""
+    from yasph2d_tpu.ops.dense_grid import (
+        build_slot_grid, cell_keys, pad_to_slots, sort_by_dense_keys,
+    )
+
+    x0, y0 = grid.origin
+    pos = np.stack(
+        [
+            rng.uniform(x0, x0 + grid.nx * grid.cell_size, n),
+            rng.uniform(y0, y0 + grid.ny * grid.cell_size, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    vals = rng.normal(size=(n, 3)).astype(np.float32)
+    (spos, svals), keys = sort_by_dense_keys(
+        (jnp.asarray(pos), jnp.asarray(vals)), jnp.asarray(pos), grid
+    )
+    slots = build_slot_grid(keys, grid)
+    pos_pad = pad_to_slots(spos, slots, grid)
+    vals_pad = pad_to_slots(svals, slots, grid)
+    mask = slots.slot_mask.reshape(grid.ny, grid.nx, grid.occupancy)
+    return pos_pad, mask, vals_pad, int(slots.num_dropped)
+
+
+@pytest.mark.parametrize("row_block", [None, 4])
+def test_rebucket_matches_sorted_rebuild(row_block):
+    """After sub-cell random displacement, rebucket must produce exactly the
+    slot content (as per-cell row multisets) that the sort-based rebuild gives."""
+    from yasph2d_tpu.ops.dense_grid import (
+        DenseGridConfig, cell_keys, rebucket,
+    )
+
+    rng = np.random.default_rng(7)
+    grid = DenseGridConfig(cell_size=0.25, origin=(0.0, 0.0), nx=12, ny=10,
+                           occupancy=10, row_block=None)
+    pos_pad, mask, vals_pad, dropped0 = _random_padded_layout(rng, grid, 300)
+    assert dropped0 == 0
+
+    # displace by < 0.9 cell (the CFL contract)
+    disp = rng.uniform(-0.22, 0.22, size=pos_pad.shape).astype(np.float32)
+    new_pos = jnp.asarray(np.asarray(pos_pad) + disp)
+
+    out_pos, new_mask, out_vals, n_drop = jax.jit(
+        lambda a, b, c: rebucket(a, b, c, grid, row_block=row_block)
+    )(new_pos, mask, vals_pad)
+    assert int(n_drop) == 0
+    assert int(new_mask.sum()) == int(mask.sum())
+
+    # every live output slot must sit in the cell containing its position
+    mp = np.asarray(new_mask)
+    op = np.asarray(out_pos)
+    keys_out = np.asarray(cell_keys(out_pos, grid)).reshape(grid.ny, grid.nx,
+                                                            grid.occupancy)
+    iy, ix = np.indices((grid.ny, grid.nx))
+    want = (iy * grid.nx + ix)[:, :, None]
+    assert (keys_out[mp] == np.broadcast_to(want, mp.shape)[mp]).all()
+
+    # global multiset of (pos | vals) rows is preserved
+    rows_in = np.concatenate(
+        [np.asarray(new_pos), np.asarray(vals_pad)], axis=-1
+    )[np.asarray(mask)]
+    rows_out = np.concatenate([op, np.asarray(out_vals)], axis=-1)[mp]
+    rows_in = rows_in[np.lexsort(rows_in.T)]
+    rows_out = rows_out[np.lexsort(rows_out.T)]
+    np.testing.assert_array_equal(rows_in, rows_out)
+
+
+def test_rebucket_overflow_counts_drops():
+    """Occupancy-overflow at the target cell drops the excess deterministically."""
+    from yasph2d_tpu.ops.dense_grid import DenseGridConfig, rebucket
+
+    grid = DenseGridConfig(cell_size=1.0, origin=(0.0, 0.0), nx=4, ny=3,
+                           occupancy=2, row_block=None)
+    # three particles in three adjacent cells all moving into cell (1,1)
+    pos = np.zeros((3, 4, 2, 2), np.float32)
+    mask = np.zeros((3, 4, 2), bool)
+    pos[1, 0, 0] = (0.5, 1.5); mask[1, 0, 0] = True
+    pos[1, 2, 0] = (2.5, 1.5); mask[1, 2, 0] = True
+    pos[0, 1, 0] = (1.5, 0.5); mask[0, 1, 0] = True
+    target = np.array([1.5, 1.5], np.float32)
+    new_pos = np.broadcast_to(target, pos.shape).astype(np.float32)
+    vals = np.zeros((3, 4, 2, 1), np.float32)
+
+    out_pos, new_mask, _, n_drop = rebucket(
+        jnp.asarray(new_pos), jnp.asarray(mask), jnp.asarray(vals), grid
+    )
+    assert int(n_drop) == 1
+    assert int(new_mask.sum()) == 2
+    assert bool(new_mask[1, 1, 0]) and bool(new_mask[1, 1, 1])
+
+
+def test_rebucket_clamps_super_cfl_moves():
+    """A particle moving >1 cell (CFL violation) is clamped into the 3x3 window,
+    not lost: particle count is conserved."""
+    from yasph2d_tpu.ops.dense_grid import DenseGridConfig, rebucket
+
+    grid = DenseGridConfig(cell_size=1.0, origin=(0.0, 0.0), nx=5, ny=1,
+                           occupancy=2, row_block=None)
+    pos = np.zeros((1, 5, 2, 2), np.float32)
+    mask = np.zeros((1, 5, 2), bool)
+    pos[0, 0, 0] = (0.5, 0.5); mask[0, 0, 0] = True
+    new_pos = pos.copy()
+    new_pos[0, 0, 0] = (4.5, 0.5)  # four cells in one step
+    vals = np.zeros((1, 5, 2, 1), np.float32)
+
+    _, new_mask, _, n_drop = rebucket(
+        jnp.asarray(new_pos), jnp.asarray(mask), jnp.asarray(vals), grid
+    )
+    assert int(n_drop) == 0
+    assert int(new_mask.sum()) == 1
+    assert bool(new_mask[0, 1].any())  # clamped to the adjacent cell

@@ -1,0 +1,119 @@
+"""Padded-resident DFSPH (DFSPHPaddedSolver) vs the sorted-carry dense solver.
+
+The padded solver shares every pair pass and pressure loop with
+DFSPHDenseSolver; only the layout lifecycle differs (windowed re-bucket instead
+of sort + pad/unpad). Per-cell candidate ORDER differs between the two (sort
+order vs (view, slot) order), so f32 summation order differs — agreement is to
+float32 drift, not bitwise.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver, DFSPHPaddedSolver
+from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+from yasph2d_tpu.timemanager import AdaptiveTimeStep, FixedTimeStep
+
+from test_wcsph import small_dam_break
+
+
+def make_solvers(world, step_config, **kwargs):
+    h = world.properties.smoothing_length
+    grid = world.dense_grid(occupancy=12)
+    common = dict(
+        viscosity_model=XSPHViscosityModel(smoothing_length=h),
+        properties=world.properties, grid=grid, step_config=step_config,
+        **kwargs,
+    )
+    return DFSPHDenseSolver(**common), DFSPHPaddedSolver(**common), grid
+
+
+def live_rows(positions, densities, alive):
+    rows = np.concatenate(
+        [np.asarray(positions), np.asarray(densities)[:, None]], axis=1
+    )[np.asarray(alive)]
+    return rows[np.lexsort(rows.T)]
+
+
+@pytest.mark.parametrize("step_config", [
+    FixedTimeStep(1.0 / 3000.0),
+    AdaptiveTimeStep(timestep_max=1 / 360, timestep_min=1 / 24000, cfl_factor=1.5),
+], ids=["fixed", "adaptive"])
+def test_padded_matches_sorted_dense(step_config):
+    world = small_dam_break(particle_density=1600.0)
+    sorted_solver, padded_solver, grid = make_solvers(world, step_config)
+    boundary = world.boundary_dense(grid)
+
+    sc = jax.jit(sorted_solver.init_carry)(world.initial_state(), boundary)
+    pc = jax.jit(padded_solver.init_carry)(world.initial_state(), boundary)
+
+    sc, sdiag = jax.jit(sorted_solver.simulate, static_argnums=2)(sc, boundary, 20)
+    pc, pdiag = jax.jit(padded_solver.simulate, static_argnums=2)(pc, boundary, 20)
+
+    assert int(sdiag.neighbor_drops) == 0 and int(pdiag.neighbor_drops) == 0
+    assert int(sdiag.density_iterations) == int(pdiag.density_iterations)
+    assert int(sdiag.divergence_iterations) == int(pdiag.divergence_iterations)
+    np.testing.assert_allclose(
+        float(sc.time.dt), float(pc.time.dt), rtol=1e-5
+    )
+
+    ps = padded_solver.export_state(pc)
+    srows = live_rows(sc.particles.positions, sc.particles.densities,
+                      sc.particles.alive)
+    prows = live_rows(ps.positions, ps.densities, ps.alive)
+    assert srows.shape == prows.shape
+    np.testing.assert_allclose(srows[:, :2], prows[:, :2], rtol=0, atol=5e-4)
+    np.testing.assert_allclose(srows[:, 2], prows[:, 2], rtol=2e-4, atol=5e-2)
+
+
+def test_padded_rebuild_every_stale_steps():
+    """rebuild_every > 1 on the padded path: bounded deviation, zero drops."""
+    world = small_dam_break(particle_density=1600.0)
+    _, padded1, grid = make_solvers(world, FixedTimeStep(1.0 / 3000.0))
+    padded3 = dataclasses.replace(padded1, rebuild_every=3)
+    boundary = world.boundary_dense(grid)
+
+    def run(solver, steps=60):
+        c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+        c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, steps)
+        s = solver.export_state(c)
+        alive = np.asarray(s.alive)
+        pos = np.asarray(s.positions)[alive]
+        vel = np.asarray(s.velocities)[alive]
+        return pos, vel, d
+
+    pos1, vel1, d1 = run(padded1)
+    pos3, vel3, d3 = run(padded3)
+    assert int(d1.neighbor_drops) == 0 and int(d3.neighbor_drops) == 0
+    assert pos1.shape == pos3.shape
+    h = world.properties.smoothing_length
+    com_dev = np.abs(pos1.mean(0) - pos3.mean(0)).max()
+    assert com_dev < 0.1 * h, com_dev
+    ke1 = float((vel1 ** 2).sum())
+    ke3 = float((vel3 ** 2).sum())
+    assert abs(ke1 - ke3) <= 0.05 * max(ke1, 1e-12) + 1e-9
+
+
+def test_padded_conserves_particles_long_run():
+    """No silent particle loss over a longer settle (mask population constant)."""
+    world = small_dam_break(particle_density=1600.0)
+    _, padded, grid = make_solvers(
+        world,
+        AdaptiveTimeStep(timestep_max=1 / 360, timestep_min=1 / 24000,
+                         cfl_factor=1.5),
+    )
+    boundary = world.boundary_dense(grid)
+    c = jax.jit(padded.init_carry)(world.initial_state(), boundary)
+    n0 = int(np.asarray(c.ctx.mask).sum())
+    assert n0 == world.num_dynamic_particles
+    c, d = jax.jit(padded.simulate, static_argnums=2)(c, boundary, 150)
+    assert int(d.neighbor_drops) == 0
+    assert int(np.asarray(c.ctx.mask).sum()) == n0
+    s = padded.export_state(c)
+    pos = np.asarray(s.positions)[np.asarray(s.alive)]
+    assert np.isfinite(pos).all()
+    rho = np.asarray(s.densities)[np.asarray(s.alive)]
+    assert rho.min() >= 100.0 - 1e-3 and rho.max() < 140.0

@@ -37,6 +37,7 @@ from ..ops.dense_grid import (
     cached_pair_reduce,
     cell_keys,
     pad_to_slots,
+    rebucket,
     sort_by_dense_keys,
     pair_map,
     pair_reduce,
@@ -94,7 +95,7 @@ class DenseCtx(NamedTuple):
     grid, one against the boundary grid), minimizing window materialization traffic.
     """
 
-    slots: SlotGrid
+    slots: Optional[SlotGrid]  # None on the padded-resident path
     pos_pad: jax.Array  # (ny, nx, P, 2)
     mask: jax.Array  # (ny, nx, P) bool
     sum_grad_stat: jax.Array  # (ny, nx, P, 2): sum of grad W to boundary neighbors
@@ -201,8 +202,21 @@ class DFSPHDenseSolver:
         positions (the hot path packs positions into one wide slot gather with
         the other rebuild-crossing state; see `step`)."""
         g = self.grid
-        m = float(self.properties.particle_mass)  # python float: folds into fn traces
         mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
+        if dropped_base is None:
+            # boundary drops are computed host-side on the FULL grid and arrive
+            # replicated — only the per-shard fluid drops need the global sum
+            dropped_base = self._sum_counts(slots.num_dropped) + boundary.num_dropped
+        return self._ctx_from_padded(pos_pad, mask, boundary, dropped_base,
+                                     slots=slots)
+
+    def _ctx_from_padded(self, pos_pad, mask, boundary: BoundaryDense,
+                         dropped, slots=None) -> DenseCtx:
+        """Pair-context build purely from padded geometry (the padded-resident
+        carry path needs no SlotGrid: `slots` stays None there and sorted-layout
+        conversions are unavailable by construction)."""
+        g = self.grid
+        m = float(self.properties.particle_mass)  # python float: folds into fn traces
 
         def terms(ri_to_rj, r_sq, r):
             mgrad = self.kernel.gradient(ri_to_rj, r_sq, r) * m
@@ -236,10 +250,6 @@ class DFSPHDenseSolver:
                 pos_pad, mask, pos_pad, mask, g,
             )
 
-        if dropped_base is None:
-            # boundary drops are computed host-side on the FULL grid and arrive
-            # replicated — only the per-shard fluid drops need the global sum
-            dropped_base = self._sum_counts(slots.num_dropped) + boundary.num_dropped
         return DenseCtx(
             slots=slots,
             pos_pad=pos_pad,
@@ -249,7 +259,7 @@ class DFSPHDenseSolver:
             densities_pad=dens_pad,
             alpha_pad=alpha_pad,
             grad_dyn=grad_dyn,
-            num_dropped=dropped_base,
+            num_dropped=dropped,
         )
 
     # --------------------------------------------------------------- pair ops
@@ -643,3 +653,190 @@ class DFSPHDenseSolver:
         for _ in range(rem):
             out = one(out[0], out[1], rebuild=True)
         return out
+
+
+class DFSPHPaddedCarry(NamedTuple):
+    """Padded-RESIDENT solver state: nothing ever leaves the (ny, nx, P) slot
+    layout between steps. The round-2 device trace showed the sorted<->padded
+    plumbing (banded rebuild gather ~50 ms, packed unpads ~39 ms, cell-key sort
+    ~23 ms of a 231 ms step at 1M) costing ~2x the pair arithmetic itself; this
+    carry removes ALL of it — the per-step neighborhood rebuild becomes one
+    windowed re-bucket (ops/dense_grid.rebucket) in slot space."""
+
+    ctx: DenseCtx  # slots=None: padded geometry only
+    v_pad: jax.Array  # (ny, nx, P, 2)
+    kappa_pad: jax.Array  # (ny, nx, P) density-loop warm start
+    stiff_pad: jax.Array  # (ny, nx, P) divergence-loop warm start
+    prev_density_iterations: jax.Array  # () int32
+    prev_divergence_iterations: jax.Array  # () int32
+    time: TimeState
+
+
+@dataclass(frozen=True)
+class DFSPHPaddedSolver(DFSPHDenseSolver):
+    """DFSPH with the padded-resident carry: the TPU fast path.
+
+    Same pair passes, pressure loops, and reference semantics as
+    DFSPHDenseSolver (which this extends); only the layout lifecycle differs:
+
+    - state (positions, velocities, warm starts) lives permanently in the
+      dense (ny, nx, P) slot layout; there is no sorted particle array, no
+      per-step lax.sort, and no pad/unpad gathers;
+    - the post-advection neighborhood rebuild (dfsph.rs:512) is a windowed
+      re-bucket: each particle moves to the cell containing its new position,
+      which the CFL bound keeps inside the old cell's 3x3 neighborhood
+      (ops/dense_grid.rebucket);
+    - cell-occupancy overflow at re-bucket REMOVES the overflowing particles
+      (counted in Diagnostics.neighbor_drops) instead of parking them outside
+      the grid as the sorted path does — healthy runs keep this at zero, and
+      world.dense_grid() sizes occupancy so the bench scenes never drop;
+    - particle identity is not stable across steps (as in the reference, whose
+      Morton re-sort has the same contract: neighborhood_search.rs:90-166).
+
+    Host/app boundaries use `export_state` (flat slot-order ParticleState with
+    the slot mask as `alive`).
+    """
+
+    def _rebucket_row0(self):
+        """Global cell-row offset of this shard (None on a single device)."""
+        return None
+
+    def init_carry(self, state: ParticleState, boundary: BoundaryDense
+                   ) -> DFSPHPaddedCarry:
+        base = super().init_carry(state, boundary)
+        ctx = base.ctx._replace(slots=None, grad_dyn=base.ctx.grad_dyn)
+        return DFSPHPaddedCarry(
+            ctx=ctx,
+            v_pad=base.v_pad,
+            kappa_pad=base.kappa_pad,
+            stiff_pad=base.stiff_pad,
+            prev_density_iterations=base.prev_density_iterations,
+            prev_divergence_iterations=base.prev_divergence_iterations,
+            time=base.time,
+        )
+
+    def export_state(self, carry: DFSPHPaddedCarry) -> ParticleState:
+        """Flat slot-order view for host/app/checkpoint boundaries: N = ny*nx*P
+        rows, `alive` = slot mask. Dead rows hold zeros / rho0."""
+        g = self.grid
+        mask = carry.ctx.mask.reshape(-1)
+        rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
+        return ParticleState(
+            positions=carry.ctx.pos_pad.reshape(-1, 2),
+            velocities=jnp.where(
+                mask[:, None], carry.v_pad.reshape(-1, 2), 0.0
+            ),
+            densities=jnp.where(
+                mask, carry.ctx.densities_pad.reshape(-1), rho0
+            ),
+            alive=mask,
+        )
+
+    def step(self, carry: DFSPHPaddedCarry, boundary: BoundaryDense,
+             rebuild: bool = True):
+        """One simulation step, ordering identical to DFSPHDenseSolver.step
+        (reference: dfsph.rs:414-525), with the sort/pad/unpad chain replaced
+        by one re-bucket."""
+        g = self.grid
+        ctx = carry.ctx
+        time_state = carry.time
+        dt = time_state.dt
+        n = self._count_live(ctx.mask)
+        m = self.properties.particle_mass
+
+        v_pad = carry.v_pad
+        kappa_pad = carry.kappa_pad
+        rho_pad = ctx.densities_pad
+
+        def visc(ri_to_rj, r_sq, r, dt_s, v_i, v_j, rho_j):
+            return self.viscosity_model.compute_viscous_acceleration(
+                dt_s, r_sq, r, m, rho_j, v_j - v_i
+            )
+
+        with jax.named_scope("DFSPH.non_pressure_forces"):
+            visc_pad = self._reduce(
+                visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
+                source_values=(v_pad, rho_pad), query_values=(v_pad,),
+                scalar_args=(dt,),
+            )
+        gvec = jnp.asarray(self.gravity, dtype=REAL)
+        accel_pad = visc_pad + gvec
+
+        # --- CFL with old-dt estimate (dfsph.rs:472-481)
+        vstar_pad = v_pad + accel_pad * dt
+        max_velocity = self._max_velocity(vstar_pad, ctx.mask)
+        time_state = update_simulation_step(
+            self.step_config, time_state,
+            self.properties.particle_radius * 2.0, max_velocity,
+        )
+        dt = time_state.dt
+
+        # --- predict v* with the NEW dt, constant-density loop (dfsph.rs:484-496)
+        pred_pad = v_pad + accel_pad * dt
+        with jax.named_scope("DFSPH.correct_density_error"):
+            pred_pad, kappa_pad, density_iters, avg_density_error = (
+                self._correct_density_error(
+                    dt, rho_pad, ctx.alpha_pad, pred_pad, kappa_pad,
+                    carry.prev_density_iterations, ctx, n,
+                )
+            )
+
+        # --- advect + re-bucket (dfsph.rs:499-512). Dead slots are masked out of
+        # the re-bucket by construction (code 0); on stale steps the layout is
+        # kept and only the position-dependent pair context refreshes.
+        pos_pad = ctx.pos_pad + pred_pad * dt
+        if rebuild:
+            with jax.named_scope("NeighborhoodSearch.update_dynamic"):
+                extra = jnp.concatenate(
+                    [pred_pad, kappa_pad[..., None], carry.stiff_pad[..., None]],
+                    axis=-1,
+                )
+                pos_pad, mask, extra, drops = rebucket(
+                    pos_pad, ctx.mask, extra, g, row_block=g.row_block,
+                    row0=self._rebucket_row0(),
+                )
+            pred_pad = extra[..., :2]
+            kappa_pad = extra[..., 2]
+            stiff_pad = extra[..., 3]
+            step_drops = self._sum_counts(drops)
+            ctx = self._ctx_from_padded(
+                pos_pad, mask, boundary, step_drops + boundary.num_dropped
+            )
+        else:
+            stiff_pad = carry.stiff_pad
+            ctx = self._ctx_from_padded(
+                pos_pad, ctx.mask, boundary, ctx.num_dropped
+            )
+
+        # --- divergence-free loop (dfsph.rs:521)
+        with jax.named_scope("DFSPH.correct_divergence_error"):
+            pred_pad, stiff_pad, divergence_iters, avg_divergence = (
+                self._correct_divergence_error(
+                    dt, ctx.alpha_pad, pred_pad, stiff_pad,
+                    carry.prev_divergence_iterations, ctx, n,
+                )
+            )
+
+        new_carry = DFSPHPaddedCarry(
+            ctx=ctx,
+            v_pad=pred_pad,
+            kappa_pad=kappa_pad,
+            stiff_pad=stiff_pad,
+            prev_density_iterations=density_iters,
+            prev_divergence_iterations=divergence_iters,
+            time=time_state,
+        )
+        diagnostics = Diagnostics(
+            dt=dt,
+            max_velocity=max_velocity,
+            # re-bucket losses are PERMANENT (unlike the sorted path's parked
+            # overflow), so this reports the drops the step itself caused; the
+            # boundary build's drops ride along so they are never invisible
+            neighbor_drops=ctx.num_dropped,
+            density_iterations=density_iters,
+            divergence_iterations=divergence_iters,
+            avg_density_error=avg_density_error,
+            avg_divergence=avg_divergence,
+            migration_drops=jnp.zeros((), dtype=jnp.int32),
+        )
+        return new_carry, diagnostics

@@ -313,6 +313,30 @@ def _view_offsets(grid: DenseGridConfig, num_source_slots: int, dtype):
     return jnp.asarray(np.repeat(off, num_source_slots, axis=0), dtype=dtype)
 
 
+def halo_rows(a: jax.Array, grid: DenseGridConfig) -> jax.Array:
+    """+-1 cell rows around a (ny, nx, ...) padded array: zero-padded on a single
+    device; fetched from the neighbor shards with `lax.ppermute` under spatial
+    sharding (grid.halo_axis). The exchange runs unconditionally on every shard."""
+    if grid.halo_axis is None:
+        zr = jnp.zeros_like(a[:1])
+        return jnp.concatenate([zr, a, zr], axis=0)
+    axis_name, n_shards = grid.halo_axis
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    # shard i+1's "row below 0" is shard i's last row; edge shards get zeros
+    # (ppermute fills unaddressed destinations with zeros)
+    below = jax.lax.ppermute(a[-1:], axis_name, fwd)
+    above = jax.lax.ppermute(a[:1], axis_name, bwd)
+    return jnp.concatenate([below, a, above], axis=0)
+
+
+def halo2d(a: jax.Array, grid: DenseGridConfig) -> jax.Array:
+    """One-cell halo on all four sides: shard-exchanged rows, zero columns."""
+    a = halo_rows(a, grid)
+    zc = jnp.zeros_like(a[:, :1])
+    return jnp.concatenate([zc, a, zc], axis=1)
+
+
 def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
                        cand_vals_halo, grid: DenseGridConfig, scalar_args=(),
                        relative: bool = False):
@@ -404,6 +428,161 @@ def pair_map(
     return jax.tree_util.tree_map(mask_leaf, per_pair)
 
 
+def rebucket(positions_pad: jax.Array, mask: jax.Array, values_pad: jax.Array,
+             grid: DenseGridConfig, row_block: int = None, row0=None):
+    """Windowed re-bucketing: move every live slot into the cell containing its
+    (advected) position, entirely in padded layout — the padded-resident carry's
+    replacement for the sort -> slot-build -> pad gather -> unpad gather chain of
+    the sorted pipeline (reference: the per-step Morton re-sort of
+    neighborhood_search.rs:90-166; same identity-instability contract).
+
+    Correctness rests on the CFL bound: dt <= cfl * 0.4 * diameter / v_max keeps
+    per-step displacement under one cell (cell_size == h = 2 * smoothing_factor
+    * r), so a particle's new cell is always inside its old 3x3 neighborhood.
+    Moves are CLAMPED to that window (a faster-than-CFL particle — already
+    physically broken — is slowed in grid space rather than lost), so every live
+    slot lands in exactly one target cell and sum(new_mask) == sum(mask) -
+    num_dropped, where num_dropped counts target-cell occupancy overflow beyond P.
+    Unlike the sorted pipeline (where overflow particles survive outside the grid
+    and can return), padded-resident overflow REMOVES the particle; callers
+    surface the count in Diagnostics and healthy runs keep it at zero.
+
+    positions_pad: (ny, nx, P, 2) advected positions in the OLD slot layout;
+    values_pad: (ny, nx, P, D) extra state columns that travel with the particle.
+    `row0`: this shard's global cell-row offset under spatial sharding (halo rows
+    then come from the neighbor shards via lax.ppermute, which also performs the
+    cross-shard particle migration structurally).
+
+    Returns (new_positions_pad, new_mask, new_values_pad, num_dropped).
+
+    Per target cell the nine neighbor views contribute 9P candidates; a candidate
+    is selected iff its clamped move code matches the view it is seen through:
+    a move of (dy, dx) gets code (dy+1)*3 + (dx+1) + 1 in 1..9 (0 = dead slot or
+    halo padding, never selected), and a candidate seen through view v (source
+    cell (y + v//3 - 1, x + v%3 - 1)) lands at (y, x) iff its code equals 9 - v.
+    Selected candidates compact into slots in deterministic (view, slot) order
+    via a running count and a one-hot contraction (a batched (P x 9P) @
+    (9P x D+2) matmul per cell — MXU work, not gather/scatter).
+    """
+    ny, nx, p = mask.shape
+    d = values_pad.shape[-1]
+
+    # per-slot move code in the OLD layout
+    iy = jnp.arange(ny, dtype=INDEX)[:, None, None]
+    if row0 is not None:
+        iy = iy + row0
+    ix = jnp.arange(nx, dtype=INDEX)[None, :, None]
+    cx, cy = cell_coords(positions_pad, grid)  # clamped into the (global) grid
+    if row0 is not None:
+        # cell_coords clamps cy into [0, ny-1] of the LOCAL grid config; recompute
+        # against the global row range so cross-shard moves survive
+        inv = jnp.asarray(1.0 / grid.cell_size, dtype=REAL)
+        origin = jnp.asarray(grid.origin, dtype=REAL)
+        n_shards = grid.halo_axis[1] if grid.halo_axis is not None else 1
+        cy = jnp.clip(
+            jnp.floor((positions_pad[..., 1] - origin[1]) * inv).astype(INDEX),
+            0, ny * n_shards - 1,
+        )
+    dy = jnp.clip(cy - iy, -1, 1)
+    dx = jnp.clip(cx - ix, -1, 1)
+    code = jnp.where(mask, (dy + 1) * 3 + (dx + 1) + 1, 0).astype(jnp.int32)
+
+    # candidate payload: [positions | values]
+    payload = jnp.concatenate([positions_pad, values_pad], axis=-1)
+
+    code_h = halo2d(code, grid)
+    payload_h = halo2d(payload, grid)
+
+    # windows convention (neighbor_windows): view v = dy*3+dx slices
+    # full[dy:dy+ny, dx:dx+nx], i.e. the candidate's source cell is
+    # (y+dy-1, x+dx-1); it lands at (y, x) iff its move is (1-dy, 1-dx),
+    # whose code is (1-dy+1)*3 + (1-dx+1) + 1 = 9 - v + ... = 10 - (v+1) = 9-v+0
+    expected_view = jnp.asarray(
+        [(2 - dy_) * 3 + (2 - dx_) + 1 for dy_ in range(3) for dx_ in range(3)],
+        dtype=jnp.int32,
+    )
+    expected = jnp.repeat(expected_view, p)  # (9P,)
+
+    rb = min(row_block or ny, ny)
+    nbr = -(-ny // rb)
+    if nbr * rb != ny:
+        # row padding would desynchronize halo rows under sharding; extend with
+        # dead rows on a single device only (callers pick rb | ny when sharded)
+        assert grid.halo_axis is None, (
+            f"sharded rebucket needs ny ({ny}) divisible by row_block ({rb})"
+        )
+        extra = nbr * rb - ny
+        code_h = jnp.concatenate(
+            [code_h, jnp.zeros((extra,) + code_h.shape[1:], code_h.dtype)], axis=0
+        )
+        payload_h = jnp.concatenate(
+            [payload_h, jnp.zeros((extra,) + payload_h.shape[1:], payload_h.dtype)],
+            axis=0,
+        )
+
+    lane = jnp.arange(p, dtype=jnp.int32)
+
+    def windows(h):
+        # (rb+2, nx+2, P, ...) haloed tile -> (rb, nx, 9P, ...) candidate axis
+        views = [
+            h[dy_ : dy_ + rb, dx_ : dx_ + nx]
+            for dy_ in range(3)
+            for dx_ in range(3)
+        ]
+        return jnp.concatenate(views, axis=2)
+
+    def block(r0):
+        c_t = jax.lax.dynamic_slice(
+            code_h, (r0, 0, 0), (rb + 2, nx + 2, p)
+        )
+        v_t = jax.lax.dynamic_slice(
+            payload_h, (r0, 0, 0, 0), (rb + 2, nx + 2, p, d + 2)
+        )
+
+        def run(_):
+            c_w = windows(c_t)  # (rb, nx, 9P)
+            v_w = windows(v_t)  # (rb, nx, 9P, D+2)
+            sel = c_w == expected[None, None, :]
+            rank = jnp.cumsum(sel.astype(jnp.int32), axis=-1) - 1  # rank of selected
+            total = rank[..., -1] + 1  # selected count per cell
+            keep = sel & (rank < p)
+            onehot = (
+                keep[:, :, None, :] & (rank[:, :, None, :] == lane[:, None])
+            ).astype(REAL)  # (rb, nx, P, 9P)
+            out = jax.lax.dot_general(
+                onehot, v_w,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=REAL,
+            )  # (rb, nx, P, D+2)
+            new_mask = lane[None, None, :] < total[:, :, None]
+            dropped = jnp.sum(jnp.maximum(total - p, 0))
+            return out, new_mask, dropped
+
+        def skip(_):
+            return (
+                jnp.zeros((rb, nx, p, d + 2), REAL),
+                jnp.zeros((rb, nx, p), bool),
+                jnp.zeros((), jnp.int32),
+            )
+
+        return jax.lax.cond(jnp.any(c_t != 0), run, skip, None)
+
+    if nbr == 1:
+        out, new_mask, dropped = block(0)
+        out = out[:ny]
+        new_mask = new_mask[:ny]
+        num_dropped = dropped
+    else:
+        outs, masks, drops = jax.lax.map(
+            block, jnp.arange(nbr, dtype=jnp.int32) * rb
+        )
+        out = outs.reshape(nbr * rb, nx, p, d + 2)[:ny]
+        new_mask = masks.reshape(nbr * rb, nx, p)[:ny]
+        num_dropped = jnp.sum(drops)
+
+    return out[..., :2], new_mask, out[..., 2:], num_dropped.astype(jnp.int32)
+
+
 def cached_pair_reduce(fn, cache, source_values=(), query_values=()):
     """Reduction over the candidate axis using a cached per-pair pytree.
 
@@ -486,32 +665,14 @@ def pair_reduce(
             jnp.asarray(a, dtype=REAL).astype(dtype) for a in scalar_args
         )
 
-    def halo_rows(a):
-        # +-1 source cell rows: zero-padded on a single device; fetched from the
-        # neighbor shards with ppermute under spatial sharding (grid.halo_axis).
-        # The exchange runs OUTSIDE the tile loop, unconditionally on every shard.
-        if grid.halo_axis is None:
-            zr = jnp.zeros_like(a[:1])
-            return jnp.concatenate([zr, a, zr], axis=0)
-        axis_name, n_shards = grid.halo_axis
-        fwd = [(i, i + 1) for i in range(n_shards - 1)]
-        bwd = [(i + 1, i) for i in range(n_shards - 1)]
-        # shard i+1's "row below 0" is shard i's last row; edge shards get zeros
-        # (ppermute fills unaddressed destinations with zeros)
-        below = jax.lax.ppermute(a[-1:], axis_name, fwd)
-        above = jax.lax.ppermute(a[:1], axis_name, bwd)
-        return jnp.concatenate([below, a, above], axis=0)
-
-    def halo2d(a):
-        a = halo_rows(a)
-        zc = jnp.zeros_like(a[:, :1])
-        return jnp.concatenate([zc, a, zc], axis=1)
+    def _halo2d(a):
+        return halo2d(a, grid)
 
     if ny <= rb and nx <= cb:
         return _pair_reduce_block(
             fn, query_padded_pos, query_mask, list(query_values),
-            halo2d(source_padded_pos), halo2d(source_mask),
-            [halo2d(v) for v in source_values], grid, scalar_args,
+            _halo2d(source_padded_pos), _halo2d(source_mask),
+            [_halo2d(v) for v in source_values], grid, scalar_args,
             relative=relative,
         )
 
@@ -541,9 +702,9 @@ def pair_reduce(
     q_pos = pad2d(query_padded_pos)
     q_mask = pad2d(query_mask)
     q_vals = [pad2d(v) for v in query_values]
-    s_pos = halo2d(pad2d(source_padded_pos))
-    s_mask = halo2d(pad2d(source_mask))
-    s_vals = [halo2d(pad2d(v)) for v in source_values]
+    s_pos = _halo2d(pad2d(source_padded_pos))
+    s_mask = _halo2d(pad2d(source_mask))
+    s_vals = [_halo2d(pad2d(v)) for v in source_values]
 
     def slice2d(a, r0, c0, h, w):
         starts = (r0, c0) + (0,) * (a.ndim - 2)
