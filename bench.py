@@ -79,8 +79,11 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
     viscosity = XSPHViscosityModel(
         smoothing_length=world.properties.smoothing_length
     )
-    if backend == "dense":
-        from yasph2d_tpu.models.dfsph_dense import DFSPHDenseSolver
+    if backend in ("dense", "padded"):
+        from yasph2d_tpu.models.dfsph_dense import (
+            DFSPHDenseSolver,
+            DFSPHPaddedSolver,
+        )
 
         # occupancy 7 measured fastest with zero drops on this scene (see PERF.md);
         # row_block 16 gives fine-grained empty-block skipping
@@ -95,7 +98,8 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
         )
-        solver = DFSPHDenseSolver(
+        cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver
+        solver = cls(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,
             rebuild_every=int(os.environ.get("YASPH_BENCH_REBUILD_EVERY", 1)),
@@ -116,9 +120,16 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
 
     t0 = time.perf_counter()
     carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
-    _ = float(carry.particles.densities[0])
+    _ = (
+        float(carry.particles.densities[0])
+        if hasattr(carry, "particles")
+        else float(carry.ctx.densities_pad.ravel()[0])
+    )
     _log(f"init_carry: {time.perf_counter() - t0:.1f}s")
-    n = int(carry.particles.positions.shape[0])
+    if hasattr(carry, "particles"):
+        n = int(carry.particles.positions.shape[0])
+    else:  # padded-resident carry: live slots
+        n = int(np.asarray(carry.ctx.mask).sum())
 
     # Compile ONE chunk size and reuse it for warm-up and timing (the remote-compile
     # path can be slow; avoid a second compile for a different static step count).
@@ -145,7 +156,12 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
     _log(f"{num_steps} steps in {elapsed:.2f}s "
          f"({elapsed / num_steps * 1e3:.2f} ms/step)")
 
-    assert bool(np.isfinite(np.asarray(carry.particles.positions)).all())
+    if hasattr(carry, "particles"):
+        final_positions = np.asarray(carry.particles.positions)
+    else:  # padded-resident carry
+        s = solver.export_state(carry)
+        final_positions = np.asarray(s.positions)[np.asarray(s.alive)]
+    assert bool(np.isfinite(final_positions).all())
     # Diagnostics aggregate across each chunk's steps (Diagnostics.accumulate):
     # drops are per-chunk maxima, iteration counts per-chunk sums.
     drops = max(int(d.neighbor_drops) for d in diags)

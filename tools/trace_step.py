@@ -3,7 +3,8 @@
 Parses the xplane proto produced by jax.profiler directly (pure-python protobuf
 to dodge the descriptor-version conflict in tensorboard_plugin_profile).
 
-Usage: python tools/trace_step.py [n_particles]
+Usage: python tools/trace_step.py [n_particles] [backend]
+backend: padded (default) | dense (sorted-carry)
 """
 
 import os
@@ -36,9 +37,13 @@ def main():
 
     shutil.rmtree(TRACE_DIR, ignore_errors=True)
     target = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    backend = sys.argv[2] if len(sys.argv) > 2 else "padded"
     world = double_dam_break(target)
     grid = dataclasses.replace(world.dense_grid(occupancy=7), row_block=16)
-    solver = DFSPHDenseSolver(
+    from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
+
+    cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver
+    solver = cls(
         viscosity_model=XSPHViscosityModel(
             smoothing_length=world.properties.smoothing_length
         ),
