@@ -5,7 +5,7 @@ and prints solver-health warnings every step (dfsph.rs:236-245); a fori_loop tha
 only returns the LAST step's diagnostics would silently discard a transient
 mid-run problem. These tests pin that `simulate()` aggregates:
 - a cell overflow that happens only in the middle of a run is visible in the result;
-- dead padding particles (parallel/sharding.py) leave dt, residuals, and physics
+- dead padding particles (world.pad_particles_dense) leave dt, residuals, and physics
   bit-for-bit untouched at any run length.
 """
 
@@ -105,7 +105,7 @@ def test_padding_particles_do_not_change_dt_or_physics():
     """Dead padding (sentinel cell keys, frozen, masked out of CFL and residuals)
     must leave the trajectory and adaptive dt identical over a long run
     (VERDICT round 1: padded runs' dt decayed toward timestep_min)."""
-    from yasph2d_tpu.parallel.sharding import pad_particles_dense
+    from yasph2d_tpu.world import pad_particles_dense
 
     # settled pool: dt stays far from timestep_min for the whole run (the dam-break
     # scene leaks a few particles over 500 steps, which legitimately decays dt in

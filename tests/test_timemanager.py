@@ -18,11 +18,12 @@ from yasph2d_tpu.timemanager import (
 )
 
 
-def mk_state(dt, total=0.0, steps=0):
+def mk_state(dt, total=0.0, steps=0, target=0.0):
     return TimeState(
         dt=jnp.float32(dt),
         total_simulated_time=jnp.float32(total),
         num_steps=jnp.int32(steps),
+        target_frame_length=jnp.float32(target),
     )
 
 
@@ -66,7 +67,10 @@ def test_target_frame_length_lowers_lower_bound():
     )
     # total mod target = 0.001 < timestep_min -> lower bound becomes 0.001
     total = 3 * (1.0 / 60.0) + 0.001
-    ts = update_simulation_step(cfg, mk_state(0.01, total=total), 0.0001, jnp.float32(100.0))
+    ts = update_simulation_step(
+        cfg, mk_state(0.01, total=total, target=1.0 / 60.0), 0.0001,
+        jnp.float32(100.0),
+    )
     # CFL is tiny, so dt = lower bound
     assert abs(float(ts.dt) - 0.001) < 1e-6
 
@@ -121,3 +125,31 @@ def test_restart_resets_clock():
     tm.restart()
     assert tm.num_simulation_steps == 0
     assert tm.total_simulated_time == 0.0
+
+
+def test_target_frame_length_is_traced_state():
+    """The recording target is a TRACED TimeState scalar (round-3): setting or
+    clearing it mid-run changes the dt policy with NO config change — the
+    viewer's R key toggles it without recompiling the jitted step."""
+    cfg = AdaptiveTimeStep(timestep_max=0.01, timestep_min=0.004, cfl_factor=1.0)
+    state = TimeState.initial(cfg)
+    assert float(state.target_frame_length) == 0.0
+    total = 3 * (1.0 / 60.0) + 0.001
+    base = mk_state(0.01, total=total)
+
+    # no target: lower bound is timestep_min
+    ts = update_simulation_step(cfg, base, 0.0001, jnp.float32(100.0))
+    assert abs(float(ts.dt) - 0.004) < 1e-6
+    # same config, target set through the state: reference quirk formula applies
+    ts = update_simulation_step(
+        cfg, base.with_target_frame_length(1.0 / 60.0), 0.0001,
+        jnp.float32(100.0),
+    )
+    assert abs(float(ts.dt) - 0.001) < 1e-6
+    # clearing restores the plain lower bound
+    ts = update_simulation_step(
+        cfg,
+        base.with_target_frame_length(1.0 / 60.0).with_target_frame_length(None),
+        0.0001, jnp.float32(100.0),
+    )
+    assert abs(float(ts.dt) - 0.004) < 1e-6

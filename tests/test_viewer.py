@@ -68,3 +68,32 @@ def test_r_toggles_recording_and_h_toggles_hud(viewer, tmp_path):
 def test_escape_closes(viewer):
     viewer.on_key(_Key("escape"))
     assert viewer.closed
+
+
+@pytest.mark.slow
+def test_r_retargets_dt_without_recompile(tmp_path):
+    """main.rs:318-333 closed: R must retarget the adaptive dt to exact 1/60 s
+    recording frames through the traced TimeState scalar, with ZERO recompiles
+    of the jitted solver step."""
+    app = SimulationApp(solver="dfsph_dense", world=default_world(400.0))
+    app.recorder.directory = str(tmp_path)
+    v = InteractiveViewer(app, figsize=(4, 3))
+    for _ in range(20):  # tick until the governor actually runs (and compiles) a step
+        v.tick()
+        if app._jitted_step._cache_size() > 0:
+            break
+    n_compiles = app._jitted_step._cache_size()
+    assert n_compiles > 0
+
+    v.on_key(_Key("r"))
+    assert app.update_mode == UpdateMode.RECORDING
+    assert abs(float(app.carry.time.target_frame_length) - 1.0 / 60.0) < 1e-9
+    for _ in range(3):
+        v.tick()  # recording mode forces 1/60 frame deltas: steps always run
+    assert app._jitted_step._cache_size() == n_compiles, "R must not recompile"
+
+    v.on_key(_Key("r"))
+    assert app.update_mode == UpdateMode.REALTIME
+    assert float(app.carry.time.target_frame_length) == 0.0
+    v.tick()
+    assert app._jitted_step._cache_size() == n_compiles

@@ -194,6 +194,30 @@ class SimulationApp:
         self.simulation_processing_time_total = 0.0
         self._init_carry()
 
+    def set_update_mode(self, mode: UpdateMode, reset: bool = True):
+        """R-key toggle (main.rs:310-331): switch realtime <-> recording,
+        retarget the adaptive dt to exact 1/60 s frame boundaries while
+        recording, and reset the simulation like the reference does. The
+        retarget is a TRACED scalar in TimeState (TimeState.target_frame_length)
+        so toggling mid-run never recompiles the jitted step.
+
+        Documented divergence: main.rs's R-key match arms assign the target to
+        the OPPOSITE branch of their own comments (the recording branch sets
+        AdaptiveTimeStepTarget::None, the realtime branch sets
+        TargetFrameLength, main.rs:312-329) — we implement the commented intent
+        ("When doing recording, we want to hit the exact frame times"), not the
+        swap."""
+        if mode == self.update_mode:
+            return
+        self.update_mode = mode
+        if reset:
+            self.reset_simulation()
+        target = 1.0 / RECORDING_FPS if mode == UpdateMode.RECORDING else None
+        self.time_manager.time_state = (
+            self.time_manager.time_state.with_target_frame_length(target)
+        )
+        self.carry = self.carry._replace(time=self.time_manager.time_state)
+
     # -------------------------------------------------------------- frame loop
 
     def single_sim_step(self):

@@ -1,9 +1,9 @@
 """shard_map spatial decomposition of the dense DFSPH solver (SURVEY.md §7 stage 8).
 
 The reference is single-process (rayon) with no distributed backend (SURVEY.md §2);
-this module is the TPU-native scaling path, replacing round 1's pjit auto-SPMD
-(parallel/sharding.py), whose global cell-key sort forced a full all-gather every
-step. Design:
+this module is the TPU-native scaling path. It replaced round 1's pjit auto-SPMD
+particle-dimension sharding (retired in round 3), whose global cell-key sort
+forced a full all-gather every step. Design:
 
 - the dense grid's cell rows split evenly over a 1D 'space' mesh axis; each shard
   owns a fixed-capacity block of particles (dead-padded) that live in its rows;

@@ -72,23 +72,39 @@ class TimerConfig:
 
 
 class TimeState(NamedTuple):
-    """Traced simulation clock, carried through jitted steps."""
+    """Traced simulation clock, carried through jitted steps.
+
+    `target_frame_length` is the recording frame target
+    (AdaptiveTimeStepTarget::TargetFrameLength, timemanager.rs:23-36) as a
+    TRACED scalar: 0 disables it, a positive value makes the adaptive dt land
+    exactly on multiples of the target. Carrying it in the state (instead of
+    folding it into the jit as static config) lets the viewer's R key toggle
+    recording mid-run without a recompile, reproducing main.rs:318-333."""
 
     dt: jax.Array  # () f32 current step length
     total_simulated_time: jax.Array  # () f32
     num_steps: jax.Array  # () int32
+    target_frame_length: jax.Array  # () f32; 0 = AdaptiveTimeStepTarget::None
 
     @classmethod
     def initial(cls, config: StepConfig) -> "TimeState":
-        dt0 = (
-            config.timestep
-            if isinstance(config, FixedTimeStep)
-            else config.timestep_min  # timemanager.rs:106-109
-        )
+        if isinstance(config, FixedTimeStep):
+            dt0, target0 = config.timestep, 0.0
+        else:  # timemanager.rs:106-109
+            dt0 = config.timestep_min
+            target0 = config.target_frame_length or 0.0
         return cls(
             dt=jnp.asarray(dt0, dtype=REAL),
             total_simulated_time=jnp.zeros((), dtype=REAL),
             num_steps=jnp.zeros((), dtype=jnp.int32),
+            target_frame_length=jnp.asarray(target0, dtype=REAL),
+        )
+
+    def with_target_frame_length(self, target: Optional[float]) -> "TimeState":
+        """Set/clear the recording frame target (R-key toggle, main.rs:318-333).
+        Pure scalar replace: no recompile of the jitted step."""
+        return self._replace(
+            target_frame_length=jnp.asarray(target or 0.0, dtype=REAL)
         )
 
     def account_step(self) -> "TimeState":
@@ -123,11 +139,16 @@ def update_simulation_step(
         jnp.asarray(config.timestep_max, dtype=REAL), time_state.dt * 2.0
     )
     lower_bound = jnp.asarray(config.timestep_min, dtype=REAL)
-    if config.target_frame_length is not None:
-        target = jnp.asarray(config.target_frame_length, dtype=REAL)
-        total = time_state.total_simulated_time
-        time_to_target = total - target * jnp.floor(total / target)
-        lower_bound = jnp.minimum(lower_bound, time_to_target)
+    # recording frame target as a TRACED branch (timemanager.rs:268-274,
+    # including the reference's quirk of clamping the LOWER bound with the
+    # elapsed-since-target); target <= 0 means AdaptiveTimeStepTarget::None
+    target = time_state.target_frame_length
+    safe_target = jnp.where(target > 0, target, jnp.asarray(1.0, dtype=REAL))
+    total = time_state.total_simulated_time
+    time_to_target = total - safe_target * jnp.floor(total / safe_target)
+    lower_bound = jnp.where(
+        target > 0, jnp.minimum(lower_bound, time_to_target), lower_bound
+    )
     new_dt = jnp.maximum(lower_bound, jnp.minimum(upper_bound, time_cfl))
     return time_state._replace(dt=new_dt)
 

@@ -15,11 +15,11 @@ matplotlib window driven by a frame timer:
 - frame pacing through the same TimeManager frame-loop governor as the headless
   app (SimulationApp.update), so realtime vs recording semantics match main.rs.
 
-Documented divergence: the reference's R key also retargets the ADAPTIVE dt to
-exact 1/60 s frame boundaries (AdaptiveTimeStepTarget::TargetFrameLength,
-main.rs:318-333). Here step_config is static solver configuration (it folds into
-the jitted step), so mid-run retargeting would recompile; construct the app with
-`update_mode=UpdateMode.RECORDING` for frame-exact recording dt instead.
+The R key retargets the ADAPTIVE dt to exact 1/60 s frame boundaries
+(AdaptiveTimeStepTarget::TargetFrameLength semantics, main.rs:318-333) through
+the traced `TimeState.target_frame_length` scalar — toggling mid-run never
+recompiles the jitted step (see SimulationApp.set_update_mode, including the
+documented divergence from main.rs's swapped match arms).
 
 Headless environments: matplotlib's Agg backend has no window or key events, but
 the viewer still constructs and ticks (tests/test_viewer.py drives it that way);
@@ -86,7 +86,9 @@ class InteractiveViewer:
         elif event.key == " ":
             self.app.reset_simulation()
         elif event.key in ("r", "R"):
-            self.app.update_mode = (
+            # retargets the adaptive dt to exact 1/60 s recording frames via the
+            # traced TimeState scalar — no recompile (main.rs:310-331 semantics)
+            self.app.set_update_mode(
                 UpdateMode.REALTIME
                 if self.app.update_mode == UpdateMode.RECORDING
                 else UpdateMode.RECORDING

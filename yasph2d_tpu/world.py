@@ -67,7 +67,7 @@ class ParticleState(NamedTuple):
     are co-sorted on every neighborhood rebuild.
 
     `alive` marks real particles; padding particles (added so N divides a device
-    mesh, parallel/sharding.py) are dead: solvers freeze them (zero acceleration,
+    mesh, `pad_particles_dense`) are dead: solvers freeze them (zero acceleration,
     no advection), exclude them from the CFL max-velocity estimate and from the
     DFSPH residual averages, and the dense backend drops them from the cell grid
     entirely (sentinel cell keys). The reference has no such concept — its particle
@@ -77,6 +77,37 @@ class ParticleState(NamedTuple):
     velocities: jax.Array  # (N, 2) f32
     densities: jax.Array  # (N,) f32
     alive: jax.Array  # (N,) bool
+
+
+def pad_particles_dense(state: ParticleState, multiple: int, grid) -> ParticleState:
+    """Pad a ParticleState so N divides a device-mesh size (dense-grid backends).
+
+    Padding particles are DEAD (alive == False): the dense backends assign them
+    sentinel cell keys so they never occupy a slot, never interact, and the
+    solvers freeze them (zero acceleration, excluded from the CFL max-velocity
+    estimate and the residual averages) — a padded run's dt and residuals are
+    identical to the unpadded run's (tests/test_diagnostics.py pins this). The
+    park position below the domain is therefore cosmetic. `grid` is a
+    DenseGridConfig."""
+    n = state.positions.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return state
+    h = grid.cell_size
+    # park positions may overlap freely: dead particles never enter the grid
+    xs = grid.origin[0] + (0.5 + np.arange(pad, dtype=np.float32) % grid.nx) * h
+    ys = np.full((pad,), grid.origin[1] + 0.5 * h, dtype=np.float32)
+    park = np.stack([xs, ys], axis=-1)
+    return ParticleState(
+        positions=jnp.concatenate([state.positions, jnp.asarray(park)], axis=0),
+        velocities=jnp.concatenate(
+            [state.velocities, jnp.zeros((pad, 2), state.velocities.dtype)], axis=0
+        ),
+        densities=jnp.concatenate(
+            [state.densities, jnp.zeros((pad,), state.densities.dtype)], axis=0
+        ),
+        alive=jnp.concatenate([state.alive, jnp.zeros((pad,), bool)], axis=0),
+    )
 
 
 def sort_particles(pytree, positions: jax.Array, grid: GridConfig):
