@@ -181,6 +181,95 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
     }
 
 
+def reference_dam_break(target_particles: int = 10_000):
+    """The reference app's default dam-break scene (main.rs:177-196: fluid rect +
+    tank + ramp), scaled to ~target fluid particles (BASELINE configs 1-3)."""
+    area = 0.5 * 1.0
+    particle_density = target_particles / (area * 0.81)
+    world = FluidParticleWorld(2.0, particle_density, 100.0)
+    world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
+    world.add_boundary_thick_line((0.0, 2.5), (2.0, 2.5), 4)
+    world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 4)
+    world.add_boundary_thick_line((0.0, 0.0), (0.0, 2.5), 4)
+    world.add_boundary_thick_line((2.0, 0.0), (2.0, 2.5), 4)
+    world.add_boundary_thick_line((0.0, 0.6), (1.75, 0.5), 2)
+    world.add_boundary_thick_line((0.0, 2.5), (2.0, 2.5), 2)
+    world.add_boundary_thick_line((-2.0, -0.5), (4.0, -0.5), 4)
+    return world
+
+
+def bench_baseline_config(name: str, num_steps: int) -> dict:
+    """BASELINE.json configs 1-3: WCSPH dam-break, DFSPH dam-break, and DFSPH
+    high-viscosity (PhysicalViscosityModel mu=0.01, reference main.rs:95-96),
+    all on the reference default scene at ~10k particles."""
+    from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
+    from yasph2d_tpu.models.wcsph_dense import WCSPHDenseSolver
+    from yasph2d_tpu.models.viscosity import PhysicalViscosityModel
+
+    world = reference_dam_break()
+    h = world.properties.smoothing_length
+    grid = world.dense_grid()  # auto occupancy
+    boundary = world.boundary_dense(grid)
+    is_wcsph = name == "wcsph_dam_break"
+    step_config = AdaptiveTimeStep(
+        timestep_max=1.0 / 360.0, timestep_min=1.0 / 24000.0,
+        cfl_factor=0.2 if is_wcsph else 1.5,  # main.rs:115-118
+    )
+    if name == "dfsph_high_viscosity":
+        viscosity = PhysicalViscosityModel(
+            smoothing_length=h, fluid_viscosity=0.01  # main.rs:95-96
+        )
+    else:
+        viscosity = XSPHViscosityModel(smoothing_length=h)
+
+    if is_wcsph:
+        solver = WCSPHDenseSolver(
+            viscosity_model=viscosity, properties=world.properties,
+            grid=grid, step_config=step_config,
+        )
+        carry = jax.jit(solver.init_carry)(world.initial_state())
+    else:
+        solver = DFSPHPaddedSolver(
+            viscosity_model=viscosity, properties=world.properties,
+            grid=grid, step_config=step_config,
+        )
+        carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+    n = world.num_dynamic_particles
+    _log(f"--- config {name}: {n} fluid / {world.num_boundary_particles} "
+         f"boundary, occupancy {grid.occupancy}")
+
+    simulate = jax.jit(solver.simulate, static_argnums=2, donate_argnums=0)
+    chunk = 10
+    carry, _ = simulate(carry, boundary, chunk)
+    _ = float(carry.time.total_simulated_time)
+    num_chunks = max(1, num_steps // chunk)
+    diags = []
+    t0 = time.perf_counter()
+    for _ in range(num_chunks):
+        carry, diag = simulate(carry, boundary, chunk)
+        diags.append(diag)
+    _ = float(carry.time.total_simulated_time)
+    elapsed = time.perf_counter() - t0
+    steps = num_chunks * chunk
+    drops = max(int(d.neighbor_drops) for d in diags)
+    assert drops == 0, f"{name}: neighbor drops"
+    out = {
+        "particles": n,
+        "particle_steps_per_sec": n * steps / elapsed,
+        "ms_per_step": elapsed / steps * 1e3,
+        "neighbor_drops": drops,
+    }
+    if not is_wcsph:
+        out["density_iterations_per_step"] = (
+            sum(int(d.density_iterations) for d in diags) / steps
+        )
+        out["divergence_iterations_per_step"] = (
+            sum(int(d.divergence_iterations) for d in diags) / steps
+        )
+    _log(f"--- config {name}: {out['ms_per_step']:.2f} ms/step")
+    return out
+
+
 def main():
     sizes = [
         int(s)
@@ -195,6 +284,13 @@ def main():
     for target in sizes:
         _log(f"=== size {target} ===")
         results[str(target)] = bench_one(target, num_steps, backend)
+
+    # BASELINE.json configs 1-3 (config 4 is the 100k matrix entry above;
+    # config 5 is the driver's multi-chip dryrun). YASPH_BENCH_CONFIGS=0 skips.
+    configs = {}
+    if os.environ.get("YASPH_BENCH_CONFIGS", "1") != "0":
+        for name in ("wcsph_dam_break", "dfsph_dam_break", "dfsph_high_viscosity"):
+            configs[name] = bench_baseline_config(name, num_steps)
 
     # headline: 1M — the size the BASELINE.json north star (1e9 p-s/s at 1M
     # particles) is defined at; falls back to the largest size run. The full
@@ -212,7 +308,7 @@ def main():
                 "value": value,
                 "unit": "particle-steps/sec",
                 "vs_baseline": value / NORTH_STAR_PARTICLE_STEPS_PER_SEC,
-                "extra": {"sizes": results},
+                "extra": {"sizes": results, "baseline_configs": configs},
             }
         )
     )

@@ -117,3 +117,73 @@ def test_padded_conserves_particles_long_run():
     assert np.isfinite(pos).all()
     rho = np.asarray(s.densities)[np.asarray(s.alive)]
     assert rho.min() >= 100.0 - 1e-3 and rho.max() < 140.0
+
+
+def test_auto_occupancy_handles_denser_packing():
+    """world.dense_grid(occupancy=None) must size the slot axis from the scene's
+    initial packing: a smoothing_factor-3 scene packs ~2.25x more particles per
+    cell than the calibration scenes, and a hand-tuned occupancy=7 would drop
+    neighbors immediately. Zero drops without any hand tuning."""
+    from yasph2d_tpu.world import FluidParticleWorld
+
+    world = FluidParticleWorld(3.0, 1600.0, 100.0)  # larger cells: denser packing
+    world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
+    world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 4)
+    world.add_boundary_thick_line((0.0, 0.0), (0.0, 2.5), 4)
+    world.add_boundary_thick_line((2.0, 0.0), (2.0, 2.5), 4)
+    world.add_boundary_thick_line((-2.0, -0.5), (4.0, -0.5), 4)
+
+    grid = world.dense_grid()  # no occupancy given
+    assert grid.occupancy > 7, grid.occupancy  # auto-sized past the h=2 default
+
+    solver = DFSPHPaddedSolver(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties, grid=grid,
+        step_config=AdaptiveTimeStep(
+            timestep_max=1 / 360, timestep_min=1 / 24000, cfl_factor=1.5
+        ),
+    )
+    boundary = world.boundary_dense(grid)
+    c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+    c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 100)
+    assert int(d.neighbor_drops) == 0
+    assert int(np.asarray(c.ctx.mask).sum()) == world.num_dynamic_particles
+
+
+def test_physical_viscosity_damps_kinetic_energy():
+    """PhysicalViscosityModel physics pinning (BASELINE config 3): with the same
+    scene and step policy, a 500x more viscous fluid must end a dam collapse with
+    measurably less kinetic energy — viscosity dissipates, it doesn't just 'stay
+    finite'. (reference: viscositymodel/physical.rs; main.rs:95-96 builds
+    mu=0.01.)"""
+    from yasph2d_tpu.models.viscosity import PhysicalViscosityModel
+    from yasph2d_tpu.world import FluidParticleWorld
+
+    def run(mu):
+        world = small_dam_break(particle_density=1600.0)
+        h = world.properties.smoothing_length
+        grid = world.dense_grid(occupancy=12)
+        solver = DFSPHPaddedSolver(
+            viscosity_model=PhysicalViscosityModel(
+                smoothing_length=h, fluid_viscosity=mu
+            ),
+            properties=world.properties, grid=grid,
+            step_config=FixedTimeStep(1.0 / 3000.0),
+        )
+        boundary = world.boundary_dense(grid)
+        c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+        c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 120)
+        assert int(d.neighbor_drops) == 0
+        s = solver.export_state(c)
+        alive = np.asarray(s.alive)
+        vel = np.asarray(s.velocities)[alive]
+        assert np.isfinite(vel).all()
+        return float((vel ** 2).sum())
+
+    ke_thin = run(0.001)
+    ke_thick = run(0.5)  # strong contrast: measured -24% KE (mu=0.01, the
+    # reference's high-viscosity config, damps only ~2% over this horizon —
+    # too weak to assert against f32 jitter; monotonicity is pinned instead)
+    assert ke_thick < 0.85 * ke_thin, (ke_thick, ke_thin)
