@@ -5,10 +5,7 @@ this module is the TPU-native scaling path. It replaced round 1's pjit auto-SPMD
 particle-dimension sharding (retired in round 3), whose global cell-key sort
 forced a full all-gather every step. Design:
 
-- the dense grid's cell rows split evenly over a 1D 'space' mesh axis; each shard
-  owns a fixed-capacity block of particles (dead-padded) that live in its rows;
-- each step sorts LOCALLY (per-shard lax.sort of its block — no global sort, no
-  all-gather anywhere);
+- the dense grid's cell rows split evenly over a 1D 'space' mesh axis;
 - pair passes fetch their +-1 source cell rows from the neighbor shards with ONE
   `lax.ppermute` halo exchange per pass (ops/dense_grid.pair_reduce with
   grid.halo_axis set) — this includes the per-iteration velocity/k-value halos
@@ -16,16 +13,23 @@ forced a full all-gather every step. Design:
 - the residual averages of the pressure loops are `lax.psum` all-reduces (the
   reference's `par_iter().sum()/len`, dfsph.rs:221, 376-377), so every shard exits
   the while_loop on the same iteration;
-- the CFL max-velocity estimate is a `lax.pmax`;
-- after advection, particles that crossed into a neighbor shard's rows migrate
-  through BOUNDED fixed-size ppermute buffers (CFL limits per-step displacement to
-  a fraction of a cell, so only adjacent shards are ever involved). Buffer or
-  capacity overflow degrades gracefully: the particle stays put for one step and
-  is counted in Diagnostics.migration_drops.
+- the CFL max-velocity estimate is a `lax.pmax`.
 
-Validated against the single-device dense solver on the 8-device virtual CPU mesh
-(tests/test_shard_dense.py), including an HLO inspection that the compiled step
-contains collective-permutes and NO all-gather.
+Two shard solvers share those collectives:
+
+- **DFSPHPaddedShardSolver / ShardedDFSPHPadded** (the fast path): the
+  padded-resident carry; cross-shard particle migration is STRUCTURAL — the
+  windowed re-bucket's halo rows carry boundary-crossing particles to the
+  neighbor shard with no buffers and no caps (ops/dense_grid.rebucket).
+- **DFSPHShardMapSolver / ShardedDFSPHDense** (conformance bridge): sorted-carry
+  blocks per shard with LOCAL lax.sort (no global sort, no all-gather) and
+  bounded fixed-size ppermute migration buffers; buffer overflow degrades
+  gracefully and is counted in Diagnostics.migration_drops.
+
+Validated against the single-device solvers on the 8-device virtual CPU mesh
+(tests/test_shard_dense.py, tests/test_shard_padded.py), including HLO
+inspections that the compiled steps contain collective-permutes and NO
+all-gather.
 """
 
 import dataclasses
@@ -41,7 +45,11 @@ try:  # jax >= 0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-from ..models.dfsph_dense import BoundaryDense, DFSPHDenseSolver
+from ..models.dfsph_dense import (
+    BoundaryDense,
+    DFSPHDenseSolver,
+    DFSPHPaddedSolver,
+)
 from ..ops.dense_grid import DenseGridConfig
 from ..units import INDEX, REAL
 from ..utils.diagnostics import Diagnostics
@@ -73,16 +81,10 @@ def make_local_grid(full_grid: DenseGridConfig, n_shards: int,
     )
 
 
-@dataclasses.dataclass(frozen=True)
-class DFSPHShardMapSolver(DFSPHDenseSolver):
-    """Dense DFSPH with the spatial-decomposition hooks filled in with collectives.
-
-    `grid` must be the LOCAL grid from make_local_grid. All `step`/`init_carry`/
-    `simulate` methods must run INSIDE shard_map (use ShardedDFSPHDense below);
-    they are ordinary SPMD functions of this shard's block.
-    """
-
-    migration_slots: int = 256
+class _SpatialCollectives:
+    """Collective overrides of the dense solvers' single-device reduction hooks,
+    shared by the sorted-carry and padded-resident shard solvers. Host classes
+    carry the LOCAL grid (make_local_grid) and run inside shard_map."""
 
     @property
     def _axis(self):
@@ -91,8 +93,6 @@ class DFSPHShardMapSolver(DFSPHDenseSolver):
     @property
     def _n_shards(self):
         return self.grid.halo_axis[1]
-
-    # ------------------------------------------------------------ local layout
 
     def _global_cells(self, positions):
         g = self.grid
@@ -118,8 +118,6 @@ class DFSPHShardMapSolver(DFSPHDenseSolver):
         )
         return jax.tree_util.tree_map(lambda a: a[perm], pytree), sorted_keys
 
-    # ------------------------------------------------------- collective hooks
-
     def _mean_live(self, value_pad, ctx, n_particles):
         # the reference's global residual average (dfsph.rs:221, 376-377): psum of
         # per-shard partial sums -> identical exit decision on every shard
@@ -141,6 +139,44 @@ class DFSPHShardMapSolver(DFSPHDenseSolver):
 
     def _sum_counts(self, count):
         return jax.lax.psum(count, self._axis)
+
+
+@dataclasses.dataclass(frozen=True)
+class DFSPHPaddedShardSolver(_SpatialCollectives, DFSPHPaddedSolver):
+    """Padded-resident DFSPH under spatial sharding: the multi-chip fast path.
+
+    Particle migration is STRUCTURAL here — there are no per-particle blocks, no
+    send buffers, and no migration_slots cap: a particle advecting across the
+    shard boundary is simply re-bucketed into the neighbor shard's edge cells
+    through the same one-cell-row `lax.ppermute` halo every pair pass already
+    uses (ops/dense_grid.rebucket with grid.halo_axis set). Per-step capacity is
+    bounded by the edge row's slot count (nx * P per direction), orders of
+    magnitude above the sorted path's fixed buffers; overflow shows up as
+    ordinary occupancy drops in Diagnostics.neighbor_drops.
+
+    On stale steps (rebuild_every > 1) cell assignment — including shard
+    assignment — is frozen exactly like the single-device padded solver: a
+    boundary-crossing particle stays clamped in the old shard's edge cells until
+    the next rebuild (bounded-deviation contract of DFSPHDenseSolver.rebuild_every).
+    """
+
+    def _rebucket_row0(self):
+        g = self.grid
+        return jax.lax.axis_index(self._axis).astype(INDEX) * g.ny
+
+
+@dataclasses.dataclass(frozen=True)
+class DFSPHShardMapSolver(_SpatialCollectives, DFSPHDenseSolver):
+    """Sorted-carry dense DFSPH with the spatial-decomposition hooks filled in
+    with collectives (the conformance-bridge shard path; DFSPHPaddedShardSolver
+    is the fast path).
+
+    `grid` must be the LOCAL grid from make_local_grid. All `step`/`init_carry`/
+    `simulate` methods must run INSIDE shard_map (use ShardedDFSPHDense below);
+    they are ordinary SPMD functions of this shard's block.
+    """
+
+    migration_slots: int = 256
 
     # ------------------------------------------------------------- migration
 
@@ -220,6 +256,9 @@ class ShardedDFSPHDense:
         carry, diag = sharded.simulate(carry, num_steps)
     """
 
+    SOLVER_CLS = DFSPHShardMapSolver
+    TWIN_CLS = DFSPHDenseSolver  # single-shard twin used for carry leaf shapes
+
     def __init__(self, viscosity_model, properties, full_grid: DenseGridConfig,
                  step_config, mesh: Mesh, capacity: Optional[int] = None,
                  migration_slots: int = 256, **solver_kwargs):
@@ -228,9 +267,13 @@ class ShardedDFSPHDense:
         self.full_grid = full_grid
         self.capacity = capacity
         grid_l = make_local_grid(full_grid, self.n_shards, mesh.axis_names[0])
-        self.solver = DFSPHShardMapSolver(
+        if any(
+            f.name == "migration_slots" for f in dataclasses.fields(self.SOLVER_CLS)
+        ):
+            solver_kwargs = dict(solver_kwargs, migration_slots=migration_slots)
+        self.solver = self.SOLVER_CLS(
             viscosity_model=viscosity_model, properties=properties, grid=grid_l,
-            step_config=step_config, migration_slots=migration_slots,
+            step_config=step_config,
             **solver_kwargs,
         )
         self._boundary = None
@@ -309,7 +352,7 @@ class ShardedDFSPHDense:
         twin solver has identical output SHAPES per shard)."""
         n_local = state.positions.shape[0] // self.n_shards
         grid_l = dataclasses.replace(self.solver.grid, halo_axis=None)
-        twin = DFSPHDenseSolver(
+        twin = self.TWIN_CLS(
             viscosity_model=self.solver.viscosity_model,
             properties=self.solver.properties, grid=grid_l,
             step_config=self.solver.step_config,
@@ -378,3 +421,12 @@ class ShardedDFSPHDense:
 
     def simulate(self, carry, boundary, num_steps: int):
         return self.simulate_fn(num_steps)(carry, boundary)
+
+
+class ShardedDFSPHPadded(ShardedDFSPHDense):
+    """Host-facing driver for the padded-resident shard solver (the multi-chip
+    fast path): same distribution/wrapper machinery as ShardedDFSPHDense, with
+    structural halo migration instead of bounded send buffers."""
+
+    SOLVER_CLS = DFSPHPaddedShardSolver
+    TWIN_CLS = DFSPHPaddedSolver
