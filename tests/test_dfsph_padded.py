@@ -187,3 +187,40 @@ def test_physical_viscosity_damps_kinetic_energy():
     # reference's high-viscosity config, damps only ~2% over this horizon —
     # too weak to assert against f32 jitter; monotonicity is pinned instead)
     assert ke_thick < 0.85 * ke_thin, (ke_thick, ke_thin)
+
+
+def test_mxu_loop_gradients_tracks_reference_path():
+    """mxu_loop_gradients (cached bf16 G + dot_general loop passes) is the
+    round-3 MXU experiment, NOT the conformance path: bf16 G rounds gradients
+    ~0.4%. Here: same scene stays stable, conserves particles, and tracks the
+    exact path within loose tolerances over 15 steps."""
+    world = small_dam_break(particle_density=1600.0)
+    _, exact, grid = make_solvers(world, FixedTimeStep(1.0 / 3000.0))
+    mxu = dataclasses.replace(exact, mxu_loop_gradients=True)
+    boundary = world.boundary_dense(grid)
+
+    def run(solver):
+        c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+        c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 15)
+        s = solver.export_state(c)
+        alive = np.asarray(s.alive)
+        return np.asarray(s.positions)[alive], d
+
+    pos_e, d_e = run(exact)
+    pos_m, d_m = run(mxu)
+    assert int(d_m.neighbor_drops) == 0
+    assert pos_e.shape == pos_m.shape
+    assert np.isfinite(pos_m).all()
+    # iteration counts may shift near tolerance boundaries; stay close
+    assert abs(int(d_e.density_iterations) - int(d_m.density_iterations)) <= 2
+    assert abs(int(d_e.divergence_iterations) - int(d_m.divergence_iterations)) <= 4
+    # bf16 rounding (~0.4% per pass, verified at the pass level) amplifies
+    # chaotically per particle; pin AGGREGATE physics instead
+    h = world.properties.smoothing_length
+    np.testing.assert_allclose(
+        pos_e.mean(axis=0), pos_m.mean(axis=0), rtol=0, atol=0.02 * h
+    )
+    # distributions agree to a fraction of h
+    np.testing.assert_allclose(
+        np.sort(pos_e[:, 1]), np.sort(pos_m[:, 1]), rtol=0, atol=0.25 * h
+    )

@@ -103,7 +103,10 @@ class DenseCtx(NamedTuple):
     densities_pad: jax.Array  # (ny, nx, P): clamped density per slot
     alpha_pad: jax.Array  # (ny, nx, P): DFSPH alpha per slot
     grad_dyn: Optional[jax.Array]  # (ny, nx, P, 9P, 2) masked dyn-pair gradients,
-    # cached for the pressure loops (None when cache_loop_gradients is off)
+    # cached for the pressure loops (None unless cache_loop_gradients or
+    # mxu_loop_gradients is on; bf16 under mxu_loop_gradients)
+    sum_grad_dyn: Optional[jax.Array]  # (ny, nx, P, 2) row sums of grad_dyn in
+    # f32 (mxu_loop_gradients only): the v_i / k_i terms of the loop passes
     num_dropped: jax.Array  # () int32
 
 
@@ -142,6 +145,14 @@ class DFSPHDenseSolver:
     # (110 vs 87 ms/step): the cached path forgoes empty-block skipping and pays the
     # cache traffic. Kept as an option; default off.
     cache_loop_gradients: bool = False
+    # MXU formulation of the pressure-loop passes (round-3 verdict item 1): cache
+    # the masked pair gradients G (ny, nx, P, 9P, 2) in bfloat16 at rebuild, and
+    # run each loop iteration's velocity-divergence / k-correction as batched
+    # lax.dot_general contractions over the (9P, 2) candidate axes with float32
+    # accumulation — MXU work instead of VPU broadcast-reduce. bf16 G rounds the
+    # gradients by ~0.4%, so this is NOT the conformance path (iteration counts
+    # can shift by 1 near tolerance boundaries); measurement recorded in PERF.md.
+    mxu_loop_gradients: bool = False
     # Re-sort + rebuild the slot grid every k-th step only (opt-in, Verlet-list
     # style). Stale steps keep the previous cell assignment but refresh every
     # position-dependent quantity (densities, alpha, gradient sums) with the TRUE
@@ -165,6 +176,14 @@ class DFSPHDenseSolver:
         if self.grid.pair_dtype != "float32":
             assert not self.grid.use_pallas and not self.cache_loop_gradients, (
                 "bfloat16 pair math is only implemented for the XLA pair_reduce path"
+            )
+        if self.mxu_loop_gradients:
+            assert not self.cache_loop_gradients and not self.grid.use_pallas, (
+                "mxu_loop_gradients excludes the other loop-pass variants"
+            )
+            assert self.grid.halo_axis is None, (
+                "mxu_loop_gradients: pair_map has no halo exchange (single-chip "
+                "experiment; see PERF.md)"
             )
         if self.grid.use_pallas:
             from functools import partial
@@ -244,7 +263,18 @@ class DFSPHDenseSolver:
         alpha_pad = 1.0 / jnp.maximum(denom, jnp.asarray(ALPHA_EPSILON, REAL))
 
         grad_dyn = None
-        if self.cache_loop_gradients:
+        sum_grad_dyn = None
+        if self.mxu_loop_gradients:
+            grad_dyn = pair_map(
+                lambda ri, r_sq, r: self.kernel.gradient(ri, r_sq, r).astype(
+                    jnp.bfloat16
+                ),
+                pos_pad, mask, pos_pad, mask, g,
+            )
+            # f32 row sums for the v_i / k_i terms (exact: reuse the ctx pass's
+            # dyn vector sum, which is m * sum grad)
+            sum_grad_dyn = dyn["vec"] / m
+        elif self.cache_loop_gradients:
             grad_dyn = pair_map(
                 lambda ri, r_sq, r: self.kernel.gradient(ri, r_sq, r),
                 pos_pad, mask, pos_pad, mask, g,
@@ -259,6 +289,7 @@ class DFSPHDenseSolver:
             densities_pad=dens_pad,
             alpha_pad=alpha_pad,
             grad_dyn=grad_dyn,
+            sum_grad_dyn=sum_grad_dyn,
             num_dropped=dropped,
         )
 
@@ -276,6 +307,23 @@ class DFSPHDenseSolver:
     def _velocity_divergence(self, ctx: DenseCtx, v_pad):
         """sum_dyn (vi - vj).grad + vi.sum_grad_stat (dfsph.rs:99-126, 249-280)."""
         g = self.grid
+
+        if self.mxu_loop_gradients:
+            # sum_j (v_i - v_j).grad = v_i . sum_j grad  -  sum_j v_j . grad;
+            # the second term is a batched (P x 18P) @ (18P x 1) contraction
+            # over the cached bf16 G with f32 accumulation (MXU)
+            from ..ops.dense_grid import neighbor_windows
+
+            vwin = neighbor_windows(v_pad).astype(jnp.bfloat16)
+            term2 = jax.lax.dot_general(
+                ctx.grad_dyn, vwin,
+                dimension_numbers=(((3, 4), (2, 3)), ((0, 1), (0, 1))),
+                preferred_element_type=REAL,
+            )  # (ny, nx, P)
+            dyn = (
+                jnp.sum(v_pad * ctx.sum_grad_dyn, axis=-1) - term2
+            )
+            return dyn + jnp.sum(v_pad * ctx.sum_grad_stat, axis=-1)
 
         if ctx.grad_dyn is not None:
             def div_cached(grads, v_i, v_j):
@@ -299,6 +347,21 @@ class DFSPHDenseSolver:
     def _k_correction(self, ctx: DenseCtx, k_pad):
         """sum_dyn (ki + kj) grad + ki * sum_grad_stat (dfsph.rs:128-161)."""
         g = self.grid
+
+        if self.mxu_loop_gradients:
+            # sum_j (k_i + k_j) grad = k_i sum_j grad + sum_j k_j grad; second
+            # term: batched (P x 9P) @ (9P x 2)-shaped contraction on the MXU
+            from ..ops.dense_grid import neighbor_windows
+
+            kwin = neighbor_windows(k_pad).astype(jnp.bfloat16)
+            term2 = jax.lax.dot_general(
+                ctx.grad_dyn, kwin,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=REAL,
+            )  # (ny, nx, P, 2), f32 accumulation
+            return (
+                k_pad[..., None] * (ctx.sum_grad_dyn + ctx.sum_grad_stat) + term2
+            )
 
         if ctx.grad_dyn is not None:
             def corr_cached(grads, k_i, k_j):
