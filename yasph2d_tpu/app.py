@@ -94,8 +94,8 @@ class SimulationApp:
         self.world = world if world is not None else default_world()
         h = self.world.properties.smoothing_length
 
-        cfl_factor = {"wcsph": 0.2, "wcsph_dense": 0.2,
-                      "dfsph": 1.5, "dfsph_dense": 1.5}[solver]
+        cfl_factor = {"wcsph": 0.2, "wcsph_dense": 0.2, "dfsph": 1.5,
+                      "dfsph_dense": 1.5, "dfsph_padded": 1.5}[solver]
         step_config = AdaptiveTimeStep(
             timestep_max=1.0 / 120.0 / 3.0,  # main.rs:122
             timestep_min=1.0 / 60.0 / 400.0,  # main.rs:123
@@ -119,11 +119,12 @@ class SimulationApp:
                 grid=self.world.grid,
                 step_config=step_config,
             )
-        elif solver == "dfsph_dense":
-            from .models.dfsph_dense import DFSPHDenseSolver
+        elif solver in ("dfsph_dense", "dfsph_padded"):
+            from .models.dfsph_dense import DFSPHDenseSolver, DFSPHPaddedSolver
 
             dense_grid = self.world.dense_grid(occupancy=8)
-            self.solver = DFSPHDenseSolver(
+            cls = DFSPHPaddedSolver if solver == "dfsph_padded" else DFSPHDenseSolver
+            self.solver = cls(
                 viscosity_model=viscosity,
                 properties=self.world.properties,
                 grid=dense_grid,
@@ -172,7 +173,7 @@ class SimulationApp:
         self.last_diagnostics = None
 
         self._jitted_step = jax.jit(self.solver.step, donate_argnums=0)
-        if solver in ("dfsph_dense", "wcsph_dense"):
+        if solver in ("dfsph_dense", "dfsph_padded", "wcsph_dense"):
             self.boundary = self.world.boundary_dense(self.solver.grid)
         else:
             self.boundary = self.world.boundary_grid()
@@ -182,7 +183,7 @@ class SimulationApp:
 
     def _init_carry(self):
         state = self.world.initial_state()
-        if self.solver_name in ("dfsph", "dfsph_dense"):
+        if self.solver_name in ("dfsph", "dfsph_dense", "dfsph_padded"):
             self.carry = self.solver.init_carry(state, self.boundary)
         else:  # wcsph variants carry no boundary-dependent warm state
             self.carry = self.solver.init_carry(state)
@@ -226,7 +227,7 @@ class SimulationApp:
         self.carry = self.carry._replace(time=self.time_manager.time_state)
         self.carry, self.last_diagnostics = self._jitted_step(self.carry, self.boundary)
         self.time_manager.time_state = self.carry.time
-        jax.block_until_ready(self.carry.particles.positions)
+        jax.block_until_ready(self.carry)
         dt_wall = time.perf_counter() - t0
         self.step_duration_history.append(dt_wall)
         self.simulation_processing_time_total += dt_wall
@@ -297,13 +298,26 @@ class SimulationApp:
             lines.append(f"! {self.warnings[-1]}")
         return "\n".join(lines)
 
+    def particle_state(self):
+        """Live particle (positions, velocities) as host arrays, whatever the
+        carry layout (sorted arrays or the padded-resident slot state)."""
+        if hasattr(self.carry, "particles"):
+            particles = self.carry.particles
+        else:  # padded-resident carry
+            particles = self.solver.export_state(self.carry)
+        alive = np.asarray(particles.alive)
+        return (
+            np.asarray(particles.positions)[alive],
+            np.asarray(particles.velocities)[alive],
+        )
+
     def draw(self) -> np.ndarray:
         """Read back particle state and rasterize one frame
         (reference: main.rs:366-400)."""
-        particles = self.carry.particles
+        positions, velocities = self.particle_state()
         image = self.renderer.render(
-            positions=np.asarray(particles.positions),
-            velocities=np.asarray(particles.velocities),
+            positions=positions,
+            velocities=velocities,
             boundary_positions=self._boundary_render_positions,
         )
         if self.show_hud:

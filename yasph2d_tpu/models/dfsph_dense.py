@@ -496,14 +496,15 @@ class DFSPHDenseSolver:
         alpha = self._alpha(ctx, boundary)
         n = state.positions.shape[0]
         g = self.grid
-        zeros_pad = jnp.zeros((g.ny, g.nx, g.occupancy), dtype=REAL)
+        # two DISTINCT zero buffers: aliased leaves break donate_argnums
+        # ("attempt to donate the same buffer twice") on eager init_carry
         return DFSPHDenseCarry(
             particles=state._replace(densities=densities),
             alpha=alpha,
             warmstart_stiffness=jnp.zeros((n,), dtype=REAL),
             v_pad=pad_to_slots(state.velocities, ctx.slots, g),
-            kappa_pad=zeros_pad,
-            stiff_pad=zeros_pad,
+            kappa_pad=jnp.zeros((g.ny, g.nx, g.occupancy), dtype=REAL),
+            stiff_pad=jnp.zeros((g.ny, g.nx, g.occupancy), dtype=REAL),
             ctx=ctx,
             prev_density_iterations=jnp.int32(1),
             prev_divergence_iterations=jnp.int32(0),

@@ -102,11 +102,7 @@ class InteractiveViewer:
         """One frame: pump the simulation frame loop, redraw the scatter."""
         app = self.app
         app.update()
-        particles = app.carry.particles
-        pos = np.asarray(particles.positions)
-        vel = np.asarray(particles.velocities)
-        alive = np.asarray(particles.alive)
-        pos, vel = pos[alive], vel[alive]
+        pos, vel = app.particle_state()  # alive-filtered, any carry layout
         speed = np.sqrt((vel * vel).sum(-1))
         self.scatter.set_offsets(pos)
         self.scatter.set_color(heatmap_color(speed * 0.1))  # main.rs:255
