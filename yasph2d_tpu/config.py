@@ -119,11 +119,13 @@ class TimestepConfig:
 class SolverConfig:
     """Solver selection + solver-specific knobs.
 
-    kind: "dfsph" (faithful table layout), "dfsph_dense" (TPU fast path), "wcsph".
+    kind: "dfsph" (faithful table layout), "dfsph_dense" (sorted-carry dense
+    layout), "dfsph_padded" (padded-resident carry - the TPU fast path),
+    "wcsph", "wcsph_dense".
     DFSPH tolerances per dfsph.rs:49-55; WCSPH compressibility per wscsph.rs:39-49.
     """
 
-    kind: str = "dfsph_dense"  # wcsph | wcsph_dense | dfsph | dfsph_dense
+    kind: str = "dfsph_padded"  # wcsph | wcsph_dense | dfsph | dfsph_dense | dfsph_padded
     max_avg_density_error: float = 0.01 / 100.0
     max_density_iterations: int = 200
     max_divergence_error: float = 0.1 / 100.0
@@ -297,13 +299,14 @@ class SimulationConfig:
             )
             boundary = world.boundary_grid()
             carry = solver.init_carry(world.initial_state(), boundary)
-        elif sc.kind == "dfsph_dense":
-            from .models.dfsph_dense import DFSPHDenseSolver
+        elif sc.kind in ("dfsph_dense", "dfsph_padded"):
+            from .models.dfsph_dense import DFSPHDenseSolver, DFSPHPaddedSolver
 
             grid = world.dense_grid(
                 occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
             )
-            solver = DFSPHDenseSolver(
+            cls = DFSPHPaddedSolver if sc.kind == "dfsph_padded" else DFSPHDenseSolver
+            solver = cls(
                 viscosity_model=viscosity,
                 properties=world.properties,
                 grid=grid,
