@@ -69,3 +69,43 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
     template = other_solver.init_carry(other.initial_state(), other.boundary_grid())
     with pytest.raises((ValueError, KeyError)):
         load_checkpoint(str(path), template)
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip_padded_carry(tmp_path):
+    """The padded-resident carry (slot-layout pytree incl. the traced clock and
+    warm starts) checkpoints and resumes bitwise-identically at fixed dt."""
+    from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
+
+    world = small_dam_break(particle_density=900.0)
+    grid = world.dense_grid(occupancy=12)
+    solver = DFSPHPaddedSolver(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties, grid=grid,
+        step_config=FixedTimeStep(1.0 / 3000.0),
+    )
+    boundary = world.boundary_dense(grid)
+    simulate = jax.jit(solver.simulate, static_argnums=2)
+
+    carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+    carry, _ = simulate(carry, boundary, 15)
+
+    path = tmp_path / "mid_padded.npz"
+    save_checkpoint(str(path), carry)
+    straight, _ = simulate(carry, boundary, 15)
+
+    template = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+    restored = load_checkpoint(str(path), template)
+    resumed, _ = simulate(restored, boundary, 15)
+
+    np.testing.assert_array_equal(
+        np.asarray(straight.ctx.pos_pad), np.asarray(resumed.ctx.pos_pad)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(straight.v_pad), np.asarray(resumed.v_pad)
+    )
+    assert float(straight.time.total_simulated_time) == float(
+        resumed.time.total_simulated_time
+    )
