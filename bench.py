@@ -14,9 +14,9 @@ against the BASELINE.json north-star target of 1e9 particle-steps/sec (value/1e9
 Env knobs:
   YASPH_BENCH_SIZES      comma list of approx fluid counts (default 10000,100000,1000000)
   YASPH_BENCH_STEPS      timed steps per size (default 100)
-  YASPH_BENCH_BACKEND    dense | table (default dense)
+  YASPH_BENCH_BACKEND    padded | dense | table (default padded)
   YASPH_BENCH_OCCUPANCY  dense slot occupancy (default 7, see PERF.md)
-  YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default 16)
+  YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default 8; see PERF.md)
   YASPH_BENCH_PAIR_DTYPE float32 | bfloat16 (default per PERF.md measurements)
   YASPH_BENCH_PALLAS     1 = run pair passes through the Pallas kernel
   YASPH_BENCH_REBUILD_EVERY  k-step neighbor rebuild (default 1 = conformance;
@@ -94,7 +94,7 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
         grid = dataclasses.replace(
             grid,
             col_block=int(cb) if cb else None,
-            row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", 16)),
+            row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", 8)),
             use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
         )
@@ -279,7 +279,7 @@ def main():
         ).split(",")
     ]
     num_steps = int(os.environ.get("YASPH_BENCH_STEPS", 100))
-    backend = os.environ.get("YASPH_BENCH_BACKEND", "dense")  # dense | table
+    backend = os.environ.get("YASPH_BENCH_BACKEND", "padded")  # padded | dense | table
 
     results = {}
     for target in sizes:
