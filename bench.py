@@ -204,7 +204,7 @@ def bench_baseline_config(name: str, num_steps: int) -> dict:
     high-viscosity (PhysicalViscosityModel mu=0.01, reference main.rs:95-96),
     all on the reference default scene at ~10k particles."""
     from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
-    from yasph2d_tpu.models.wcsph_dense import WCSPHDenseSolver
+    from yasph2d_tpu.models.wcsph_dense import WCSPHPaddedSolver
     from yasph2d_tpu.models.viscosity import PhysicalViscosityModel
 
     world = reference_dam_break()
@@ -224,7 +224,7 @@ def bench_baseline_config(name: str, num_steps: int) -> dict:
         viscosity = XSPHViscosityModel(smoothing_length=h)
 
     if is_wcsph:
-        solver = WCSPHDenseSolver(
+        solver = WCSPHPaddedSolver(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,
         )

@@ -52,7 +52,9 @@ def live_positions(solver, carry):
 
 
 @pytest.mark.parametrize(
-    "kind", ["wcsph", "wcsph_dense", "dfsph", "dfsph_dense", "dfsph_padded"]
+    "kind",
+    ["wcsph", "wcsph_dense", "wcsph_padded", "dfsph", "dfsph_dense",
+     "dfsph_padded"],
 )
 def test_build_and_step_each_solver(kind):
     cfg = small_config(kind)

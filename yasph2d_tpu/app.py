@@ -94,8 +94,8 @@ class SimulationApp:
         self.world = world if world is not None else default_world()
         h = self.world.properties.smoothing_length
 
-        cfl_factor = {"wcsph": 0.2, "wcsph_dense": 0.2, "dfsph": 1.5,
-                      "dfsph_dense": 1.5, "dfsph_padded": 1.5}[solver]
+        cfl_factor = {"wcsph": 0.2, "wcsph_dense": 0.2, "wcsph_padded": 0.2,
+                      "dfsph": 1.5, "dfsph_dense": 1.5, "dfsph_padded": 1.5}[solver]
         step_config = AdaptiveTimeStep(
             timestep_max=1.0 / 120.0 / 3.0,  # main.rs:122
             timestep_min=1.0 / 60.0 / 400.0,  # main.rs:123
@@ -130,11 +130,12 @@ class SimulationApp:
                 grid=dense_grid,
                 step_config=step_config,
             )
-        elif solver == "wcsph_dense":
-            from .models.wcsph_dense import WCSPHDenseSolver
+        elif solver in ("wcsph_dense", "wcsph_padded"):
+            from .models.wcsph_dense import WCSPHDenseSolver, WCSPHPaddedSolver
 
             dense_grid = self.world.dense_grid(occupancy=8)
-            self.solver = WCSPHDenseSolver(
+            wcls = WCSPHPaddedSolver if solver == "wcsph_padded" else WCSPHDenseSolver
+            self.solver = wcls(
                 viscosity_model=viscosity,
                 properties=self.world.properties,
                 grid=dense_grid,
@@ -173,7 +174,8 @@ class SimulationApp:
         self.last_diagnostics = None
 
         self._jitted_step = jax.jit(self.solver.step, donate_argnums=0)
-        if solver in ("dfsph_dense", "dfsph_padded", "wcsph_dense"):
+        if solver in ("dfsph_dense", "dfsph_padded", "wcsph_dense",
+                      "wcsph_padded"):
             self.boundary = self.world.boundary_dense(self.solver.grid)
         else:
             self.boundary = self.world.boundary_grid()

@@ -125,7 +125,8 @@ class SolverConfig:
     DFSPH tolerances per dfsph.rs:49-55; WCSPH compressibility per wscsph.rs:39-49.
     """
 
-    kind: str = "dfsph_padded"  # wcsph | wcsph_dense | dfsph | dfsph_dense | dfsph_padded
+    kind: str = "dfsph_padded"
+    # wcsph | wcsph_dense | wcsph_padded | dfsph | dfsph_dense | dfsph_padded
     max_avg_density_error: float = 0.01 / 100.0
     max_density_iterations: int = 200
     max_divergence_error: float = 0.1 / 100.0
@@ -250,13 +251,16 @@ class SimulationConfig:
             raise ValueError(f"unknown timestep kind {self.timestep.kind!r}")
 
         sc = self.solver
-        if sc.kind == "wcsph_dense":
-            from .models.wcsph_dense import WCSPHDenseSolver
+        if sc.kind in ("wcsph_dense", "wcsph_padded"):
+            from .models.wcsph_dense import WCSPHDenseSolver, WCSPHPaddedSolver
 
             grid = world.dense_grid(
                 occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
             )
-            solver = WCSPHDenseSolver(
+            wcls = (
+                WCSPHPaddedSolver if sc.kind == "wcsph_padded" else WCSPHDenseSolver
+            )
+            solver = wcls(
                 viscosity_model=viscosity,
                 properties=world.properties,
                 grid=grid,

@@ -25,6 +25,7 @@ from ..ops.dense_grid import (
     build_slot_grid,
     pad_to_slots,
     pair_reduce,
+    rebucket,
     slots_to_sorted,
     sort_by_dense_keys,
 )
@@ -91,13 +92,62 @@ class WCSPHDenseSolver:
     def _sort(self, pytree, positions, alive):
         return sort_by_dense_keys(pytree, positions, self.grid, alive)
 
+    def _density_and_forces(self, pos_pad, v_pad, mask, boundary: BoundaryDense,
+                            dt):
+        """The three window passes shared by both carries: Poly6 density with
+        self-contribution and clamp (fluidparticleworld.rs:197-231), boundary
+        density + Monaghan-Kajtar penalty in one pass (wscsph.rs:108-116), and
+        symmetric pressure + viscosity forces (wscsph.rs:59-105). Returns
+        (dens_pad, accel_pad) with accel EXCLUDING gravity."""
+        g = self.grid
+        m = float(self.properties.particle_mass)
+        rho0 = self.properties.fluid_density
+
+        w = lambda ri, r_sq, r: self.density_kernel.evaluate(r_sq, r)
+        dyn_w = self._reduce(w, pos_pad, mask, pos_pad, mask, g)
+
+        def stat_terms(ri_to_rj, r_sq, r):
+            w_b = self.pressure_kernel.evaluate(r_sq, r)
+            c = -self.boundary_force_factor * w_b / r_sq
+            return {
+                "w": self.density_kernel.evaluate(r_sq, r),
+                "force": c[..., None] * ri_to_rj,
+            }
+
+        gb = g
+        if g.boundary_col_block is not None:
+            import dataclasses as _dc
+
+            gb = _dc.replace(g, col_block=g.boundary_col_block)
+        stat = self._reduce(stat_terms, pos_pad, mask, boundary.pos_pad,
+                            boundary.mask, gb)
+        zero = jnp.zeros((), dtype=REAL)
+        dens_pad = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat["w"])
+        dens_pad = jnp.maximum(dens_pad, jnp.asarray(rho0, REAL))
+
+        pres_pad = tait_pressure(self.stiffness, rho0, dens_pad)
+
+        def dyn_forces(ri_to_rj, r_sq, r, dt_s, p_i, rho_i, v_i, p_j, rho_j, v_j):
+            coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
+            f = coef[..., None] * self.pressure_kernel.gradient(ri_to_rj, r_sq, r)
+            return f + self.viscosity_model.compute_viscous_acceleration(
+                dt_s, r_sq, r, m, rho_j, v_j - v_i
+            )
+
+        accel_pad = self._reduce(
+            dyn_forces, pos_pad, mask, pos_pad, mask, g,
+            source_values=(pres_pad, dens_pad, v_pad),
+            query_values=(pres_pad, dens_pad, v_pad),
+            scalar_args=(dt,),
+        ) + stat["force"]
+        return dens_pad, accel_pad
+
     def step(self, carry: WCSPHDenseCarry, boundary: BoundaryDense):
         """One simulation step (reference: wscsph.rs:126-179)."""
         g = self.grid
         particles, accel, time_state = carry
         alive = particles.alive
         dt = time_state.dt
-        m = float(self.properties.particle_mass)
         rho0 = self.properties.fluid_density
 
         # leapfrog part 1 (wscsph.rs:141-151)
@@ -122,48 +172,9 @@ class WCSPHDenseSolver:
         v_pad = pv_pad[..., 2:4]
         mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
 
-        # density pass (Poly6, self-contribution, clamp; fluidparticleworld.rs:197-231)
-        # The boundary pass also emits the Monaghan-Kajtar penalty force
-        # (wscsph.rs:108-116) — both are position-only, ONE window pass suffices.
-        w = lambda ri, r_sq, r: self.density_kernel.evaluate(r_sq, r)
-        dyn_w = self._reduce(w, pos_pad, mask, pos_pad, mask, g)
-
-        def stat_terms(ri_to_rj, r_sq, r):
-            w_b = self.pressure_kernel.evaluate(r_sq, r)
-            c = -self.boundary_force_factor * w_b / r_sq
-            return {
-                "w": self.density_kernel.evaluate(r_sq, r),
-                "force": c[..., None] * ri_to_rj,
-            }
-
-        gb = g
-        if g.boundary_col_block is not None:
-            import dataclasses as _dc
-
-            gb = _dc.replace(g, col_block=g.boundary_col_block)
-        stat = self._reduce(stat_terms, pos_pad, mask, boundary.pos_pad,
-                            boundary.mask, gb)
-        zero = jnp.zeros((), dtype=REAL)
-        dens_pad = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat["w"])
-        dens_pad = jnp.maximum(dens_pad, jnp.asarray(rho0, REAL))
-
-        # force pass: symmetric pressure + viscosity over dynamic neighbors
-        # (wscsph.rs:59-105), Monaghan-Kajtar boundary force (wscsph.rs:108-116)
-        pres_pad = tait_pressure(self.stiffness, rho0, dens_pad)
-
-        def dyn_forces(ri_to_rj, r_sq, r, dt_s, p_i, rho_i, v_i, p_j, rho_j, v_j):
-            coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
-            f = coef[..., None] * self.pressure_kernel.gradient(ri_to_rj, r_sq, r)
-            return f + self.viscosity_model.compute_viscous_acceleration(
-                dt_s, r_sq, r, m, rho_j, v_j - v_i
-            )
-
-        accel_pad = self._reduce(
-            dyn_forces, pos_pad, mask, pos_pad, mask, g,
-            source_values=(pres_pad, dens_pad, v_pad),
-            query_values=(pres_pad, dens_pad, v_pad),
-            scalar_args=(dt,),
-        ) + stat["force"]
+        dens_pad, accel_pad = self._density_and_forces(
+            pos_pad, v_pad, mask, boundary, dt
+        )
         # ONE packed unpad for [accel | density]
         out_pad = jnp.concatenate([accel_pad, dens_pad[..., None]], axis=-1)
         zeros1 = jnp.zeros_like(positions[:, :1])
@@ -210,3 +221,126 @@ class WCSPHDenseSolver:
             return c, agg.accumulate(diag)
 
         return jax.lax.fori_loop(0, num_steps, body, (carry, Diagnostics.zeros()))
+
+
+class WCSPHPaddedCarry(NamedTuple):
+    """Padded-RESIDENT WCSPH state (see DFSPHPaddedCarry for the rationale:
+    nothing leaves the (ny, nx, P) slot layout between steps; the per-step
+    rebuild is a windowed re-bucket instead of sort + pad/unpad gathers)."""
+
+    pos_pad: jax.Array  # (ny, nx, P, 2)
+    v_pad: jax.Array  # (ny, nx, P, 2)
+    accel_pad: jax.Array  # (ny, nx, P, 2) cached for the leapfrog (wscsph.rs:21-22)
+    dens_pad: jax.Array  # (ny, nx, P) last computed densities (export/HUD)
+    mask: jax.Array  # (ny, nx, P) bool
+    time: TimeState
+
+
+@dataclass(frozen=True)
+class WCSPHPaddedSolver(WCSPHDenseSolver):
+    """WCSPH with the padded-resident carry — the TPU fast path.
+
+    Same three window passes and reference semantics as WCSPHDenseSolver; the
+    sort + pad/unpad layout lifecycle is replaced by ops/dense_grid.rebucket.
+    The first leapfrog half-kick runs in the OLD slot layout (the cached
+    accelerations never need to cross the rebuild — they are recomputed from
+    the new geometry each step, exactly like the sorted path recomputes them
+    after its re-sort). Occupancy overflow at re-bucket removes particles
+    (counted in Diagnostics.neighbor_drops); healthy runs keep it at zero.
+    """
+
+    # --- single-device reduction hooks (the sharded subclass overrides these)
+
+    def _max_velocity(self, vstar_pad, mask):
+        v_est_sq = jnp.where(mask, jnp.sum(vstar_pad * vstar_pad, axis=-1), 0.0)
+        return jnp.sqrt(jnp.max(v_est_sq))
+
+    def _sum_counts(self, count):
+        return count
+
+    def _rebucket_row0(self):
+        return None
+
+    def init_carry(self, state: ParticleState, boundary=None) -> WCSPHPaddedCarry:
+        """`boundary` is accepted (and ignored) for driver-signature uniformity
+        with the DFSPH solvers."""
+        g = self.grid
+        packed = jnp.concatenate([state.positions, state.velocities], axis=1)
+        (packed,), sorted_keys = self._sort(
+            (packed,), state.positions, state.alive
+        )
+        slots = build_slot_grid(sorted_keys, g)
+        pv_pad = pad_to_slots(packed, slots, g)
+        mask = slots.slot_mask.reshape(g.ny, g.nx, g.occupancy)
+        rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
+        return WCSPHPaddedCarry(
+            pos_pad=pv_pad[..., :2],
+            v_pad=jnp.where(mask[..., None], pv_pad[..., 2:4], 0.0),
+            accel_pad=jnp.zeros_like(pv_pad[..., :2]),
+            dens_pad=jnp.full((g.ny, g.nx, g.occupancy), rho0, dtype=REAL),
+            mask=mask,
+            time=TimeState.initial(self.step_config),
+        )
+
+    def export_state(self, carry: WCSPHPaddedCarry) -> ParticleState:
+        """Flat slot-order view for host/app boundaries (N = ny*nx*P rows)."""
+        mask = carry.mask.reshape(-1)
+        rho0 = jnp.asarray(self.properties.fluid_density, dtype=REAL)
+        return ParticleState(
+            positions=carry.pos_pad.reshape(-1, 2),
+            velocities=jnp.where(mask[:, None], carry.v_pad.reshape(-1, 2), 0.0),
+            densities=jnp.where(mask, carry.dens_pad.reshape(-1), rho0),
+            alive=mask,
+        )
+
+    def step(self, carry: WCSPHPaddedCarry, boundary: BoundaryDense):
+        """One simulation step (reference: wscsph.rs:126-179), fully padded."""
+        g = self.grid
+        time_state = carry.time
+        dt = time_state.dt
+        mask = carry.mask
+
+        # leapfrog part 1 in the OLD layout (wscsph.rs:141-151)
+        v_pad = carry.v_pad + 0.5 * dt * carry.accel_pad
+        pos_pad = carry.pos_pad + v_pad * dt
+
+        # neighborhood rebuild = windowed re-bucket (wscsph.rs:153)
+        with jax.named_scope("NeighborhoodSearch.update_dynamic"):
+            pos_pad, mask, v_ext, drops = rebucket(
+                pos_pad, mask, v_pad, g, row_block=g.row_block,
+                row0=self._rebucket_row0(),
+            )
+        v_pad = v_ext
+
+        dens_pad, accel_pad = self._density_and_forces(
+            pos_pad, v_pad, mask, boundary, dt
+        )
+        gvec = jnp.asarray(self.gravity, dtype=REAL)
+        # dead slots stay frozen: no gravity, no advection
+        accel_pad = jnp.where(mask[..., None], accel_pad + gvec, 0.0)
+
+        # CFL with the *old* dt estimate (wscsph.rs:158-167)
+        vstar_pad = v_pad + accel_pad * dt
+        max_velocity = self._max_velocity(vstar_pad, mask)
+        time_state = update_simulation_step(
+            self.step_config, time_state,
+            self.properties.particle_radius * 2.0, max_velocity,
+        )
+
+        # leapfrog part 2 with the NEW dt (wscsph.rs:169-178)
+        v_pad = v_pad + 0.5 * time_state.dt * accel_pad
+
+        new_carry = WCSPHPaddedCarry(
+            pos_pad=pos_pad,
+            v_pad=v_pad,
+            accel_pad=accel_pad,
+            dens_pad=dens_pad,
+            mask=mask,
+            time=time_state,
+        )
+        diagnostics = Diagnostics.zeros()._replace(
+            dt=dt,
+            max_velocity=max_velocity,
+            neighbor_drops=self._sum_counts(drops) + boundary.num_dropped,
+        )
+        return new_carry, diagnostics
