@@ -162,3 +162,45 @@ def test_padded_compiled_step_has_halo_exchange_and_no_allgather(mesh):
     hlo = fn.lower(s_carry, s_boundary).compile().as_text()
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo
+
+
+@pytest.mark.slow
+def test_wcsph_padded_sharded_matches_single_device(mesh):
+    """Sharded padded WCSPH (ppermute halos + structural migration, pmax CFL)
+    vs the single-device padded WCSPH."""
+    from yasph2d_tpu.models.wcsph_dense import WCSPHPaddedSolver
+    from yasph2d_tpu.parallel.shard_dense import ShardedWCSPHPadded
+
+    world = small_dam_break(particle_density=1600.0)
+    full_grid = world.dense_grid(occupancy=12, ny_multiple=8)
+    h = world.properties.smoothing_length
+    visc = XSPHViscosityModel(smoothing_length=h)
+    cfg = FixedTimeStep(1.0 / 24000.0)  # shock-free horizon (see test_wcsph_dense)
+    sharded = ShardedWCSPHPadded(
+        viscosity_model=visc, properties=world.properties, full_grid=full_grid,
+        step_config=cfg, mesh=mesh,
+    )
+    single = WCSPHPaddedSolver(
+        viscosity_model=visc, properties=world.properties, grid=full_grid,
+        step_config=cfg,
+    )
+    boundary = world.boundary_dense(full_grid)
+    state = world.initial_state()
+    n_real = state.positions.shape[0]
+
+    s_carry, s_boundary = sharded.init(state, boundary)
+    c_single = jax.jit(single.init_carry)(state)
+    assert int(np.asarray(s_carry.mask).sum()) == n_real
+
+    s_carry, s_diag = sharded.simulate(s_carry, s_boundary, 20)
+    c_single, diag = jax.jit(single.simulate, static_argnums=2)(
+        c_single, boundary, 20
+    )
+    assert int(s_diag.neighbor_drops) == 0 and int(diag.neighbor_drops) == 0
+
+    pos_s = np.asarray(s_carry.pos_pad)[np.asarray(s_carry.mask)]
+    pos_1 = np.asarray(c_single.pos_pad)[np.asarray(c_single.mask)]
+    assert pos_s.shape == pos_1.shape
+    np.testing.assert_allclose(
+        sorted_rows(pos_s), sorted_rows(pos_1), rtol=0, atol=5e-5
+    )

@@ -50,6 +50,7 @@ from ..models.dfsph_dense import (
     DFSPHDenseSolver,
     DFSPHPaddedSolver,
 )
+from ..models.wcsph_dense import WCSPHPaddedSolver
 from ..ops.dense_grid import DenseGridConfig
 from ..units import INDEX, REAL
 from ..utils.diagnostics import Diagnostics
@@ -423,6 +424,17 @@ class ShardedDFSPHDense:
         return self.simulate_fn(num_steps)(carry, boundary)
 
 
+@dataclasses.dataclass(frozen=True)
+class WCSPHPaddedShardSolver(_SpatialCollectives, WCSPHPaddedSolver):
+    """Padded-resident WCSPH under spatial sharding: ppermute halos in the
+    window passes and the re-bucket (structural migration), pmax CFL. WCSPH has
+    no residual loops, so these are the only collectives."""
+
+    def _rebucket_row0(self):
+        g = self.grid
+        return jax.lax.axis_index(self._axis).astype(INDEX) * g.ny
+
+
 class ShardedDFSPHPadded(ShardedDFSPHDense):
     """Host-facing driver for the padded-resident shard solver (the multi-chip
     fast path): same distribution/wrapper machinery as ShardedDFSPHDense, with
@@ -430,3 +442,11 @@ class ShardedDFSPHPadded(ShardedDFSPHDense):
 
     SOLVER_CLS = DFSPHPaddedShardSolver
     TWIN_CLS = DFSPHPaddedSolver
+
+
+class ShardedWCSPHPadded(ShardedDFSPHDense):
+    """Host-facing driver for the sharded padded WCSPH (same distribution and
+    shard_map machinery; WCSPH carries no boundary-dependent warm state)."""
+
+    SOLVER_CLS = WCSPHPaddedShardSolver
+    TWIN_CLS = WCSPHPaddedSolver
