@@ -36,6 +36,13 @@ from ..units import INDEX, REAL
 
 MIN_DISTANCE_SQ = 1.0e-10  # self/degenerate filter (reference: neighborhood_search.rs:324)
 
+# Below this many slots (num_cells * occupancy), pair passes and the re-bucket
+# run UNBANDED (single block): the lax.map band machinery dominates small grids
+# (measured on the bench scenes: 10k scene = 127k slots, unbanded 3.06 vs
+# banded 4.37 ms/step; 100k scene = 1.17M slots, unbanded 66.9 vs banded
+# 19.6 ms/step — the crossover sits between).
+SMALL_GRID_SLOTS = 300_000
+
 
 @dataclass(frozen=True)
 class DenseGridConfig:
@@ -504,6 +511,8 @@ def rebucket(positions_pad: jax.Array, mask: jax.Array, values_pad: jax.Array,
     expected = jnp.repeat(expected_view, p)  # (9P,)
 
     rb = min(row_block or ny, ny)
+    if grid.num_cells * grid.occupancy < SMALL_GRID_SLOTS:
+        rb = ny  # small grid: see SMALL_GRID_SLOTS
     nbr = -(-ny // rb)
     if nbr * rb != ny:
         # row padding would desynchronize halo rows under sharding; extend with
@@ -646,6 +655,8 @@ def pair_reduce(
     # clamp to nx: a col_block wider than the grid (e.g. boundary_col_block=256 on
     # a narrow test scene) would pad dead columns into every tile
     cb = min(grid.col_block or nx, nx)
+    if grid.num_cells * grid.occupancy < SMALL_GRID_SLOTS:
+        rb, cb = ny, nx  # small grid: band machinery costs more than it skips
 
     dtype = grid.pair_jnp_dtype
     relative = dtype != REAL
