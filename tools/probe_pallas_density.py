@@ -38,6 +38,7 @@ SHAPES = {
 
 def main():
     stage = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    block_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     nx, ny, p = SHAPES[stage]
     h = 0.05
     grid = DenseGridConfig(cell_size=h, origin=(0.0, 0.0), nx=nx, ny=ny,
@@ -56,13 +57,13 @@ def main():
 
     f_pallas = jax.jit(
         lambda q, qm: pallas_pair_reduce(density, q, qm, q, qm, grid,
-                                         block_rows=8)
+                                         block_rows=block_rows)
     )
     t0 = time.perf_counter()
     out = f_pallas(pos, mask)
     _ = float(out.ravel()[0])  # force real completion through the tunnel
     compile_s = time.perf_counter() - t0
-    print(f"stage {stage} ({ny}x{nx}x{p}): Mosaic compile+run {compile_s:.1f}s",
+    print(f"stage {stage} ({ny}x{nx}x{p}) br{block_rows}: Mosaic compile+run {compile_s:.1f}s",
           flush=True)
 
     f_xla = jax.jit(lambda q, qm: pair_reduce(density, q, qm, q, qm, grid))
