@@ -16,7 +16,7 @@ Env knobs:
   YASPH_BENCH_STEPS      timed steps per size (default 100)
   YASPH_BENCH_BACKEND    padded | dense | table (default padded)
   YASPH_BENCH_OCCUPANCY  dense slot occupancy (default 7, see PERF.md)
-  YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default 8; see PERF.md)
+  YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default size-based, PERF.md)
   YASPH_BENCH_PAIR_DTYPE float32 | bfloat16 (default per PERF.md measurements)
   YASPH_BENCH_PALLAS     1 = run pair passes through the Pallas kernel
   YASPH_BENCH_REBUILD_EVERY  k-step neighbor rebuild (default 1 = conformance;
@@ -85,16 +85,19 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             DFSPHPaddedSolver,
         )
 
-        # occupancy 7 measured fastest with zero drops on this scene (see PERF.md);
-        # row_block 16 gives fine-grained empty-block skipping
+        # occupancy 7 measured fastest with zero drops on this scene (see PERF.md)
         grid = world.dense_grid(
             occupancy=int(os.environ.get("YASPH_BENCH_OCCUPANCY", 7))
         )
+        # row_block optimum is size-dependent (PERF.md round-3 sweep): 8 at the
+        # 1M grid (finer empty-band skipping), 16 at 100k, auto-unbanded under
+        # 300k slots regardless (ops/dense_grid.SMALL_GRID_SLOTS)
+        rb_default = 8 if grid.num_cells * grid.occupancy > 4_000_000 else 16
         cb = os.environ.get("YASPH_BENCH_COL_BLOCK")
         grid = dataclasses.replace(
             grid,
             col_block=int(cb) if cb else None,
-            row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", 8)),
+            row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", rb_default)),
             use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
         )

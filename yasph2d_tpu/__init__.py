@@ -30,8 +30,16 @@ def __getattr__(name):
     lazy = {
         "WCSPHSolver": ("yasph2d_tpu.models.wcsph", "WCSPHSolver"),
         "WCSPHDenseSolver": ("yasph2d_tpu.models.wcsph_dense", "WCSPHDenseSolver"),
+        "WCSPHPaddedSolver": ("yasph2d_tpu.models.wcsph_dense", "WCSPHPaddedSolver"),
         "DFSPHSolver": ("yasph2d_tpu.models.dfsph", "DFSPHSolver"),
         "DFSPHDenseSolver": ("yasph2d_tpu.models.dfsph_dense", "DFSPHDenseSolver"),
+        "DFSPHPaddedSolver": ("yasph2d_tpu.models.dfsph_dense", "DFSPHPaddedSolver"),
+        "ShardedDFSPHPadded": (
+            "yasph2d_tpu.parallel.shard_dense", "ShardedDFSPHPadded"
+        ),
+        "ShardedWCSPHPadded": (
+            "yasph2d_tpu.parallel.shard_dense", "ShardedWCSPHPadded"
+        ),
         "SimulationApp": ("yasph2d_tpu.app", "SimulationApp"),
     }
     if name in lazy:
