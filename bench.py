@@ -107,6 +107,10 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             grid=grid, step_config=step_config,
             rebuild_every=int(os.environ.get("YASPH_BENCH_REBUILD_EVERY", 1)),
             mxu_loop_gradients=os.environ.get("YASPH_BENCH_MXU") == "1",
+            rebucket_row_block=(
+                int(os.environ["YASPH_BENCH_REBUCKET_RB"])
+                if os.environ.get("YASPH_BENCH_REBUCKET_RB") else None
+            ),
         )
         boundary = world.boundary_dense(grid)
         _log(f"dense grid: {grid.nx}x{grid.ny} cells, occupancy {grid.occupancy}, "

@@ -153,6 +153,10 @@ class DFSPHDenseSolver:
     # gradients by ~0.4%, so this is NOT the conformance path (iteration counts
     # can shift by 1 near tolerance boundaries); measurement recorded in PERF.md.
     mxu_loop_gradients: bool = False
+    # Band size for the padded-resident re-bucket (None = grid.row_block). The
+    # re-bucket's per-band fixed costs (output layout copies, skip-branch
+    # zeros) differ from the pair passes', so its optimum differs; see PERF.md.
+    rebucket_row_block: Optional[int] = None
     # Re-sort + rebuild the slot grid every k-th step only (opt-in, Verlet-list
     # style). Stale steps keep the previous cell assignment but refresh every
     # position-dependent quantity (densities, alpha, gradient sums) with the TRUE
@@ -856,7 +860,8 @@ class DFSPHPaddedSolver(DFSPHDenseSolver):
                     axis=-1,
                 )
                 pos_pad, mask, extra, drops = rebucket(
-                    pos_pad, ctx.mask, extra, g, row_block=g.row_block,
+                    pos_pad, ctx.mask, extra, g,
+                    row_block=self.rebucket_row_block or g.row_block,
                     row0=self._rebucket_row0(),
                 )
             pred_pad = extra[..., :2]

@@ -307,7 +307,8 @@ class WCSPHPaddedSolver(WCSPHDenseSolver):
         # neighborhood rebuild = windowed re-bucket (wscsph.rs:153)
         with jax.named_scope("NeighborhoodSearch.update_dynamic"):
             pos_pad, mask, v_ext, drops = rebucket(
-                pos_pad, mask, v_pad, g, row_block=g.row_block,
+                pos_pad, mask, v_pad, g,
+                row_block=self.rebucket_row_block or g.row_block,
                 row0=self._rebucket_row0(),
             )
         v_pad = v_ext
