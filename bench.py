@@ -100,6 +100,7 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", rb_default)),
             use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
+            pair_view_loop=os.environ.get("YASPH_BENCH_VIEW_LOOP") == "1",
         )
         cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver
         solver = cls(

@@ -136,6 +136,50 @@ def test_dense_pair_reduce_with_values_matches_brute_force():
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
 
 
+def test_pair_view_loop_matches_concat_path():
+    """pair_view_loop=True (nine per-view accumulated reduces) must agree with
+    the default concatenated-candidate-axis path on every leaf kind (scalar,
+    vector, query/source values, scalar args) to f32 reduction-order tolerance,
+    in both f32 and the bf16 cell-relative mode."""
+    import dataclasses
+
+    h = 0.25
+    g0 = DenseGridConfig(cell_size=h, origin=(0.0, 0.0), nx=9, ny=8, occupancy=6,
+                         row_block=4)
+    gv = dataclasses.replace(g0, pair_view_loop=True)
+    kernel = WendlandQuinticC2(h)
+    pos, keys = make_sorted(150, g0, seed=11)
+    slots = build_slot_grid(keys, g0)
+    rng = np.random.default_rng(12)
+    vel = jnp.asarray(rng.standard_normal((150, 2)).astype(np.float32))
+
+    padded_pos = pad_to_slots(pos, slots, g0)
+    padded_vel = pad_to_slots(vel, slots, g0)
+    mask = slots.slot_mask.reshape(g0.ny, g0.nx, g0.occupancy)
+    qs = jnp.asarray(rng.standard_normal((g0.ny, g0.nx, g0.occupancy)).astype(np.float32))
+
+    def terms(ri_to_rj, r_sq, r, s, q, v_j):
+        grad = kernel.gradient(ri_to_rj, r_sq, r)
+        return {
+            "w": kernel.evaluate(r_sq, r) * s,
+            "g": grad,
+            "dot": jnp.sum(v_j * grad, axis=-1) * q,
+        }
+
+    kw = dict(source_values=(padded_vel,), query_values=(qs,), scalar_args=(1.7,))
+    for ga, gb, rtol in [
+        (g0, gv, 1e-3),
+        (dataclasses.replace(g0, pair_dtype="bfloat16"),
+         dataclasses.replace(gv, pair_dtype="bfloat16"), 5e-2),
+    ]:
+        a = pair_reduce(terms, padded_pos, mask, padded_pos, mask, ga, **kw)
+        b = pair_reduce(terms, padded_pos, mask, padded_pos, mask, gb, **kw)
+        for k in a:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=rtol, atol=1e-3
+            )
+
+
 def test_banded_pad_matches_plain_gather():
     """pad_to_slots(row_block=...) must equal the plain gather at every LIVE slot
     and produce zeros in fully-empty bands (the skipped branches). Uses a grid

@@ -14,7 +14,7 @@ sort + slot rebuild, density pass, force pass, CFL, second half-kick with the NE
 """
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,9 @@ class WCSPHDenseSolver:
     target_density_variation: float = 0.01
     expected_max_flow_speed: float = 1.0
     gravity: tuple = GRAVITY
+    # Band size for the padded-resident re-bucket (None = grid.row_block); its
+    # per-band fixed costs differ from the pair passes', so it tunes separately.
+    rebucket_row_block: Optional[int] = None
 
     def __post_init__(self):
         h = self.properties.smoothing_length

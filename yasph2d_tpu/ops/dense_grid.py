@@ -70,6 +70,10 @@ class DenseGridConfig:
     # General-pass column blocking measured counterproductive at every scale
     # (PERF.md); None disables.
     boundary_col_block: Optional[int] = 256
+    # Pair passes loop the nine 3x3 views with per-view accumulation instead of
+    # concatenating them into one (.., 9Ps) candidate axis (see
+    # _pair_reduce_block_views). Same math; f32 reduction grouping differs.
+    pair_view_loop: bool = False
     # Run pair passes through the Pallas TPU kernel (ops/pallas_pair.py) instead of
     # the XLA lax.map path. Same math, VMEM-resident windows.
     use_pallas: bool = False
@@ -358,6 +362,11 @@ def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
     Candidate-axis reductions always accumulate in float32 regardless of the
     per-pair dtype.
     """
+    if grid.pair_view_loop:
+        return _pair_reduce_block_views(
+            fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
+            cand_vals_halo, grid, scalar_args, relative=relative,
+        )
     b, c = q_pos.shape[0], q_pos.shape[1]
 
     def windows(halo):
@@ -390,17 +399,84 @@ def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
     )
 
     per_pair = fn(ri_to_rj, r_sq, jnp.sqrt(r_sq), *scalar_args, *q_vals, *cand_vals)
+    red, widths, treedef = _packed_candidate_reduce(per_pair, valid)
+    return _unpack_components(red, widths, treedef)
 
-    def reduce_leaf(leaf):
-        # One fused masked reduce per leaf. NOTE (measured on TPU at 100k): splitting
-        # vector leaves into per-component reductions looks 3x faster in an isolated
-        # stage benchmark, but inside the fused whole step it REGRESSES 980k ->
-        # 1.20M particle-steps/sec when reverted — the two component consumers force
-        # the per-pair tensor to materialize, where one 5D reduce fuses end-to-end.
-        mask = valid if leaf.ndim == valid.ndim else valid[..., None]
-        return jnp.sum(jnp.where(mask, leaf, 0.0), axis=3, dtype=REAL)
 
-    return jax.tree_util.tree_map(reduce_leaf, per_pair)
+def _packed_candidate_reduce(per_pair, valid):
+    """Pack EVERY output leaf of a pair pass (scalars get a unit axis, vectors
+    decompose into scalar components) along one trailing component axis and
+    reduce the candidate axis ONCE (measured whole-step: ~4% at 1M; a single
+    reduce also guarantees one consumer of the per-pair tensor — the round-1
+    regression came from several reduce consumers forcing rematerialization).
+    Returns (reduced (..., L) float32, widths, treedef) for _unpack_components."""
+    leaves, treedef = jax.tree_util.tree_flatten(per_pair)
+    widths = [None if l.ndim == valid.ndim else l.shape[-1] for l in leaves]
+    comps = []
+    for leaf, w in zip(leaves, widths):
+        if w is None:
+            comps.append(leaf)
+        else:
+            comps.extend(leaf[..., i] for i in range(w))
+    packed = comps[0][..., None] if len(comps) == 1 else jnp.stack(comps, axis=-1)
+    red = jnp.sum(jnp.where(valid[..., None], packed, 0.0), axis=3, dtype=REAL)
+    return red, widths, treedef
+
+
+def _unpack_components(red, widths, treedef):
+    outs = []
+    off = 0
+    for w in widths:
+        k = 1 if w is None else w
+        piece = red[..., off:off + k]
+        outs.append(piece[..., 0] if w is None else piece)
+        off += k
+    return jax.tree_util.tree_unflatten(treedef, outs)
+
+
+def _pair_reduce_block_views(fn, q_pos, q_mask, query_vals, s_pos_halo,
+                             s_mask_halo, cand_vals_halo, grid: DenseGridConfig,
+                             scalar_args=(), relative: bool = False):
+    """View-loop variant of _pair_reduce_block: instead of concatenating the nine
+    3x3-neighborhood views into one (B, C, 9Ps) candidate axis and reducing it,
+    loop the views in Python (static unroll) and ACCUMULATE nine per-view masked
+    reduces of (B, C, P, Ps) tensors. The concatenate is a fusion boundary on TPU
+    — the concatenated per-pair tensor round-trips HBM (~2.9 GB/pass at 1M);
+    per-view tensors are 1/9 the size and each slice -> math -> reduce chain can
+    fuse end-to-end. Same math, same f32 accumulation; only the reduction
+    grouping (and thus f32 rounding order) differs."""
+    b, c = q_pos.shape[0], q_pos.shape[1]
+    q_vals = [
+        v[:, :, :, None] if v.ndim == 3 else v[:, :, :, None, :] for v in query_vals
+    ]
+
+    acc = None
+    widths = treedef = None
+    h = grid.cell_size
+    for dy in range(3):
+        for dx in range(3):
+            c_pos = s_pos_halo[dy : dy + b, dx : dx + c]  # (B, C, Ps, 2)
+            c_mask = s_mask_halo[dy : dy + b, dx : dx + c]
+            c_vals = [v[dy : dy + b, dx : dx + c][:, :, None] for v in cand_vals_halo]
+
+            ri_to_rj = c_pos[:, :, None, :, :] - q_pos[:, :, :, None, :]
+            if relative:
+                off = jnp.asarray([(dx - 1) * h, (dy - 1) * h], dtype=q_pos.dtype)
+                ri_to_rj = ri_to_rj + off
+            r_sq = jnp.sum(ri_to_rj * ri_to_rj, axis=-1)
+            valid = (
+                q_mask[:, :, :, None]
+                & c_mask[:, :, None, :]
+                & (r_sq <= grid.radius_sq)
+                & (r_sq > MIN_DISTANCE_SQ)
+            )
+            per_pair = fn(
+                ri_to_rj, r_sq, jnp.sqrt(r_sq), *scalar_args, *q_vals, *c_vals
+            )
+            red, widths, treedef = _packed_candidate_reduce(per_pair, valid)
+            acc = red if acc is None else acc + red
+
+    return _unpack_components(acc, widths, treedef)
 
 
 def pair_map(
