@@ -18,7 +18,10 @@ Env knobs:
   YASPH_BENCH_OCCUPANCY  dense slot occupancy (default 7, see PERF.md)
   YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default size-based, PERF.md)
   YASPH_BENCH_PAIR_DTYPE float32 | bfloat16 (default per PERF.md measurements)
-  YASPH_BENCH_PALLAS     1 = run pair passes through the Pallas kernel
+  YASPH_BENCH_PALLAS     1 = run pair passes through the (retired) gen-1 Pallas kernel
+  YASPH_BENCH_SLOTMAJOR  1 = run fluid-fluid pair passes through the slot-major
+                         Pallas kernel (ops/pallas_slotmajor.py)
+  YASPH_BENCH_SM_ROW_BLOCK  slot-major band height (default 8)
   YASPH_BENCH_REBUILD_EVERY  k-step neighbor rebuild (default 1 = conformance;
                              k>1 is the opt-in Verlet-style mode, see PERF.md)
 """
@@ -99,6 +102,8 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             col_block=int(cb) if cb else None,
             row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", rb_default)),
             use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
+            use_pallas_slotmajor=os.environ.get("YASPH_BENCH_SLOTMAJOR") == "1",
+            pallas_sm_row_block=int(os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)),
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
             pair_view_loop=os.environ.get("YASPH_BENCH_VIEW_LOOP") == "1",
         )

@@ -8,14 +8,22 @@ jax initializes a backend, hence module scope here.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the CI env may preset the tpu platform
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("YASPH_TEST_TPU") == "1":
+    # opt-out for the TPU-only tests (e.g. the full-solver Pallas equivalence in
+    # test_pallas_slotmajor.py): run on the real device instead of the CPU mesh
+    pass
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: the CI env may preset the tpu platform
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-# The env var alone is NOT enough: the axon PJRT plugin (sitecustomize) registers the
-# TPU backend and takes priority over JAX_PLATFORMS from the environment. The config
-# update below is authoritative as long as it happens before the first backend use.
-import jax
+    # The env var alone is NOT enough: the axon PJRT plugin (sitecustomize) registers
+    # the TPU backend and takes priority over JAX_PLATFORMS from the environment. The
+    # config update below is authoritative as long as it happens before the first
+    # backend use.
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

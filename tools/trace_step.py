@@ -39,7 +39,11 @@ def main():
     target = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     backend = sys.argv[2] if len(sys.argv) > 2 else "padded"
     world = double_dam_break(target)
-    grid = dataclasses.replace(world.dense_grid(occupancy=7), row_block=8)
+    grid = dataclasses.replace(
+        world.dense_grid(occupancy=7), row_block=8,
+        use_pallas_slotmajor=os.environ.get("YASPH_BENCH_SLOTMAJOR") == "1",
+        pallas_sm_row_block=int(os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)),
+    )
     from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
 
     cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver

@@ -43,6 +43,7 @@ from ..ops.dense_grid import (
     pair_reduce,
     slots_to_sorted,
 )
+from ..ops.pallas_slotmajor import SMGeom, build_geom, pass_flags, sm_pair_reduce
 from ..ops.smoothing_kernels import WendlandQuinticC2
 from ..timemanager import StepConfig, TimeState, update_simulation_step
 from ..utils.diagnostics import Diagnostics
@@ -108,6 +109,8 @@ class DenseCtx(NamedTuple):
     sum_grad_dyn: Optional[jax.Array]  # (ny, nx, P, 2) row sums of grad_dyn in
     # f32 (mxu_loop_gradients only): the v_i / k_i terms of the loop passes
     num_dropped: jax.Array  # () int32
+    sm: Optional[SMGeom] = None  # blocked slot-major geometry planes
+    # (use_pallas_slotmajor only): shared by every fluid-fluid pass this rebuild
 
 
 class DFSPHDenseCarry(NamedTuple):
@@ -189,6 +192,18 @@ class DFSPHDenseSolver:
                 "mxu_loop_gradients: pair_map has no halo exchange (single-chip "
                 "experiment; see PERF.md)"
             )
+        if self.grid.use_pallas_slotmajor:
+            assert not self.grid.use_pallas and not self.cache_loop_gradients \
+                and not self.mxu_loop_gradients, (
+                    "use_pallas_slotmajor excludes the other pair-pass variants"
+                )
+            assert self.grid.halo_axis is None, (
+                "the slot-major Pallas path has no halo collectives "
+                "(single-device only; shard_map solvers keep the XLA path)"
+            )
+            assert self.grid.pair_dtype == "float32", (
+                "the slot-major kernel computes in float32 planes"
+            )
         if self.grid.use_pallas:
             from functools import partial
 
@@ -250,8 +265,30 @@ class DFSPHDenseSolver:
                 "count": jnp.ones_like(r_sq),
             }
 
+        sm = None
         with jax.named_scope("FluidParticleWorld.update_densities+alpha"):
-            dyn = self._reduce(terms, pos_pad, mask, pos_pad, mask, g)
+            if g.use_pallas_slotmajor:
+                br = g.pallas_sm_row_block
+                sm = build_geom(pos_pad, mask, br)
+
+                def ctx_terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+                    w = self.kernel.evaluate(r_sq, r)
+                    mgc = self.kernel.gradient_coefficient(r_sq, r) * m
+                    gx = mgc * dx
+                    gy = mgc * dy
+                    return (w, gx, gy, gx * gx + gy * gy, jnp.ones_like(r_sq))
+
+                w_, gx_, gy_, sq_, cnt_ = sm_pair_reduce(
+                    ctx_terms, 5, sm, sm, pass_flags(sm, sm), g, br
+                )
+                dyn = {
+                    "w": w_,
+                    "vec": jnp.stack([gx_, gy_], axis=-1),
+                    "sq": sq_,
+                    "count": cnt_,
+                }
+            else:
+                dyn = self._reduce(terms, pos_pad, mask, pos_pad, mask, g)
             gb = g
             if g.boundary_col_block is not None:
                 gb = dataclasses.replace(g, col_block=g.boundary_col_block)
@@ -295,6 +332,7 @@ class DFSPHDenseSolver:
             grad_dyn=grad_dyn,
             sum_grad_dyn=sum_grad_dyn,
             num_dropped=dropped,
+            sm=sm,
         )
 
     # --------------------------------------------------------------- pair ops
@@ -329,7 +367,19 @@ class DFSPHDenseSolver:
             )
             return dyn + jnp.sum(v_pad * ctx.sum_grad_stat, axis=-1)
 
-        if ctx.grad_dyn is not None:
+        if ctx.sm is not None:
+            def div_sm(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+                gc = self.kernel.gradient_coefficient(r_sq, r)
+                return (
+                    ((q_planes[0] - s_planes[0]) * dx
+                     + (q_planes[1] - s_planes[1]) * dy) * gc,
+                )
+
+            (dyn,) = sm_pair_reduce(
+                div_sm, 1, ctx.sm, ctx.sm, pass_flags(ctx.sm, ctx.sm), g,
+                g.pallas_sm_row_block, q_vals=(v_pad,), s_vals=(v_pad,),
+            )
+        elif ctx.grad_dyn is not None:
             def div_cached(grads, v_i, v_j):
                 return jnp.sum((v_i - v_j) * grads, axis=-1)
 
@@ -367,7 +417,19 @@ class DFSPHDenseSolver:
                 k_pad[..., None] * (ctx.sum_grad_dyn + ctx.sum_grad_stat) + term2
             )
 
-        if ctx.grad_dyn is not None:
+        if ctx.sm is not None:
+            def corr_sm(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+                kk = (q_planes[0] + s_planes[0]) * self.kernel.gradient_coefficient(
+                    r_sq, r
+                )
+                return (kk * dx, kk * dy)
+
+            cx, cy = sm_pair_reduce(
+                corr_sm, 2, ctx.sm, ctx.sm, pass_flags(ctx.sm, ctx.sm), g,
+                g.pallas_sm_row_block, q_vals=(k_pad,), s_vals=(k_pad,),
+            )
+            dyn = jnp.stack([cx, cy], axis=-1)
+        elif ctx.grad_dyn is not None:
             def corr_cached(grads, k_i, k_j):
                 return (k_i + k_j)[..., None] * grads
 
@@ -385,6 +447,40 @@ class DFSPHDenseSolver:
                 source_values=(k_pad,), query_values=(k_pad,),
             )
         return dyn + k_pad[..., None] * ctx.sum_grad_stat
+
+    def _viscosity_pass(self, ctx: DenseCtx, v_pad, rho_pad, dt):
+        """Viscous acceleration over dynamic neighbors (fluidparticleworld.rs /
+        the viscosity models' accumulate loops); (ny, nx, P, 2)."""
+        g = self.grid
+        m = self.properties.particle_mass
+
+        if ctx.sm is not None:
+            def visc_sm(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+                c = self.viscosity_model.viscous_coefficient(
+                    scalars[0], r_sq, r, m, s_planes[2]
+                )
+                return (
+                    c * (s_planes[0] - q_planes[0]),
+                    c * (s_planes[1] - q_planes[1]),
+                )
+
+            ax, ay = sm_pair_reduce(
+                visc_sm, 2, ctx.sm, ctx.sm, pass_flags(ctx.sm, ctx.sm), g,
+                g.pallas_sm_row_block, q_vals=(v_pad,),
+                s_vals=(v_pad, rho_pad), scalars=(dt,),
+            )
+            return jnp.stack([ax, ay], axis=-1)
+
+        def visc(ri_to_rj, r_sq, r, dt_s, v_i, v_j, rho_j):
+            return self.viscosity_model.compute_viscous_acceleration(
+                dt_s, r_sq, r, m, rho_j, v_j - v_i
+            )
+
+        return self._reduce(
+            visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
+            source_values=(v_pad, rho_pad), query_values=(v_pad,),
+            scalar_args=(dt,),
+        )
 
     # --- single-device reduction hooks; the shard_map solver overrides these with
     # --- collective versions (lax.psum / lax.pmax over the spatial mesh axis)
@@ -531,7 +627,6 @@ class DFSPHDenseSolver:
         # residual averages divide by the LIVE count (reference averages over its
         # exact particle count, dfsph.rs:221,376-377; padding must not dilute them)
         n = self._count_live(alive)
-        m = self.properties.particle_mass
 
         # --- non-pressure forces (gravity + viscosity, dynamic neighbors only)
         # velocities and the kappa warm-start arrive PADDED from the carry (they
@@ -541,17 +636,8 @@ class DFSPHDenseSolver:
         kappa_pad = carry.kappa_pad
         rho_pad = ctx.densities_pad  # carried from last rebuild (== particles.densities)
 
-        def visc(ri_to_rj, r_sq, r, dt_s, v_i, v_j, rho_j):
-            return self.viscosity_model.compute_viscous_acceleration(
-                dt_s, r_sq, r, m, rho_j, v_j - v_i
-            )
-
         with jax.named_scope("DFSPH.non_pressure_forces"):
-            visc_pad = self._reduce(
-                visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
-                source_values=(v_pad, rho_pad), query_values=(v_pad,),
-                scalar_args=(dt,),
-            )
+            visc_pad = self._viscosity_pass(ctx, v_pad, rho_pad, dt)
         # acceleration, CFL estimate, and v* prediction all stay in PADDED layout
         # (no sorted round-trip): the slot mask covers exactly the live in-grid
         # particles, so masking replaces the alive-gating of the sorted path.
@@ -810,23 +896,13 @@ class DFSPHPaddedSolver(DFSPHDenseSolver):
         time_state = carry.time
         dt = time_state.dt
         n = self._count_live(ctx.mask)
-        m = self.properties.particle_mass
 
         v_pad = carry.v_pad
         kappa_pad = carry.kappa_pad
         rho_pad = ctx.densities_pad
 
-        def visc(ri_to_rj, r_sq, r, dt_s, v_i, v_j, rho_j):
-            return self.viscosity_model.compute_viscous_acceleration(
-                dt_s, r_sq, r, m, rho_j, v_j - v_i
-            )
-
         with jax.named_scope("DFSPH.non_pressure_forces"):
-            visc_pad = self._reduce(
-                visc, ctx.pos_pad, ctx.mask, ctx.pos_pad, ctx.mask, g,
-                source_values=(v_pad, rho_pad), query_values=(v_pad,),
-                scalar_args=(dt,),
-            )
+            visc_pad = self._viscosity_pass(ctx, v_pad, rho_pad, dt)
         gvec = jnp.asarray(self.gravity, dtype=REAL)
         accel_pad = visc_pad + gvec
 

@@ -22,6 +22,13 @@ class ViscosityModel:
     def compute_viscous_acceleration(self, dt, r_sq, r, mass_j, rho_j, velocity_diff):
         """dt, r_sq, r, rho_j: (...,); mass_j scalar; velocity_diff (vj - vi): (..., 2).
         Returns (..., 2)."""
+        c = self.viscous_coefficient(dt, r_sq, r, mass_j, rho_j)
+        return c[..., None] * velocity_diff
+
+    def viscous_coefficient(self, dt, r_sq, r, mass_j, rho_j):
+        """The per-pair scalar c with acceleration == c * (vj - vi). Both
+        reference models have this form (xsph.rs:21-23, physical.rs:21-23);
+        plane-form passes (ops/pallas_slotmajor.py) consume it directly."""
         raise NotImplementedError
 
 
@@ -39,14 +46,13 @@ class XSPHViscosityModel(ViscosityModel):
     def __post_init__(self):
         object.__setattr__(self, "kernel", Poly6(self.smoothing_length))
 
-    def compute_viscous_acceleration(self, dt, r_sq, r, mass_j, rho_j, velocity_diff):
+    def viscous_coefficient(self, dt, r_sq, r, mass_j, rho_j):
         # python-float constant keeps weak typing (bf16 pair passes stay bf16)
-        c = (
+        return (
             float(self.epsilon * mass_j)
             * self.kernel.evaluate(r_sq, r)
             / (rho_j * dt)
         )
-        return c[..., None] * velocity_diff
 
 
 @dataclass(frozen=True)
@@ -64,10 +70,9 @@ class PhysicalViscosityModel(ViscosityModel):
     def __post_init__(self):
         object.__setattr__(self, "kernel", Viscosity(self.smoothing_length))
 
-    def compute_viscous_acceleration(self, dt, r_sq, r, mass_j, rho_j, velocity_diff):
-        c = (
+    def viscous_coefficient(self, dt, r_sq, r, mass_j, rho_j):
+        return (
             jnp.asarray(self.fluid_viscosity * mass_j, dtype=REAL)
             * self.kernel.laplacian(r_sq, r)
             / rho_j
         )
-        return c[..., None] * velocity_diff

@@ -75,9 +75,18 @@ class DenseGridConfig:
     # _pair_reduce_block_views). Same math; f32 reduction grouping differs.
     pair_view_loop: bool = False
     # Run pair passes through the Pallas TPU kernel (ops/pallas_pair.py) instead of
-    # the XLA lax.map path. Same math, VMEM-resident windows.
+    # the XLA lax.map path. Same math, VMEM-resident windows. This first-generation
+    # kernel does not compile on the deployment's remote Mosaic service (PERF.md);
+    # prefer use_pallas_slotmajor.
     use_pallas: bool = False
     pallas_block_rows: int = 8
+    # Run the FLUID-FLUID pair passes through the slot-major Pallas kernel
+    # (ops/pallas_slotmajor.py): spatial dims on (sublane, lane), slots/vector
+    # components as leading-dim planes — the layout Mosaic compiles and runs
+    # 2.86x faster than the XLA band (PERF.md round 3). The fluid-vs-boundary
+    # pass keeps the XLA path (thin-shell column blocking). Single-device only.
+    use_pallas_slotmajor: bool = False
+    pallas_sm_row_block: int = 8
     # Dtype of the per-pair math inside pair_reduce: "float32" (exact, default) or
     # "bfloat16" (fast path). bfloat16 uses CELL-RELATIVE coordinates: positions are
     # rebased onto their own cell center (magnitude <= h/2, so pair differences

@@ -1,0 +1,297 @@
+"""Slot-major Pallas pair passes — the production TPU kernel path.
+
+Why slot-major: the first-generation kernel (ops/pallas_pair.py) carries
+(P, Ps)- or (P, 2)-minor operands, which Mosaic pads to (8, 128) register
+tiles — an 18-64x VMEM amplification that OOMs scoped VMEM or blows the
+compile (PERF.md round 3). Here the SPATIAL dims live on (sublane, lane) and
+slots / vector components are separate leading-dim planes:
+
+  query geometry   q_geom[band, {x,y,mask}, slot, BR, NX]
+  source geometry  s_geom[band, {x,y,mask}, slot, BR+2, NXS]   (one-cell halo)
+  pass values      *_vals[band, plane, slot, ...]              (vectors -> 2 planes)
+  outputs          out[band, plane, slot, BR, NX]
+
+The kernel loops the query slot OUTERMOST so the live VMEM set is n_out
+(BR, NX) accumulator planes per slot (a whole-block functional accumulator
+keeps all 9*Ps unrolled candidate temporaries live: measured 48.5 MB scoped
+VMEM vs the 16 MB limit). Probe measurement (tools/probe_pallas_slotmajor.py,
+real TPU, 1M band shape): 2.86x faster than the XLA pair_reduce band.
+
+Empty-band skipping (the XLA path's lax.cond) becomes a per-band flag in SMEM:
+skipped bands write zeros and do no pair math. Band DMA still runs — at 1M
+that is ~2 ms/step of the ~45 ms the kernels save.
+
+Pass math arrives as a PLANE-FORM term function
+    term_fn(dx, dy, r_sq, r, scalars, q_planes, s_planes) -> tuple of planes
+with every argument a (BR, NX) f32 plane (dx = xj - xi, matching the
+`ri_to_rj` convention of kernel.rs:22-28); the kernel masks each output with
+the validity plane (dead slot / out of radius / self — the filters of
+neighborhood_search.rs:312-397) and accumulates over the 9 views x Ps source
+slots. Plane-form physics comes from the coefficient methods on the smoothing
+kernels and viscosity models (gradient_coefficient / viscous_coefficient).
+
+Single-device only: the slot-major path has no halo collectives
+(DenseGridConfig.halo_axis must be None); the shard_map solvers keep the XLA
+pair_reduce path.
+"""
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..units import REAL
+from .dense_grid import MIN_DISTANCE_SQ, DenseGridConfig
+
+LANE = 128  # TPU lane width: the trailing spatial dim pads to a multiple
+
+
+def _num_bands(ny: int, br: int) -> int:
+    return -(-ny // br)
+
+
+def _nx_padded(nx: int) -> int:
+    return -(-nx // LANE) * LANE
+
+
+class SMGeom(NamedTuple):
+    """Blocked slot-major geometry of one index space (fluid or boundary),
+    rebuilt once per neighborhood rebuild and shared by every pass.
+
+    Band occupancy bits drive per-pass skip flags: a band's source window
+    covers its own rows plus one halo row on each side, so the window bit of
+    band i is band_any[i] | last_any[i-1] | first_any[i+1]."""
+
+    q_geom: jax.Array  # (nbr, 3, P, BR, NXP) f32: x, y, mask planes
+    s_geom: jax.Array  # (nbr, 3, P, BR+2, NXS) f32: haloed source blocking
+    band_any: jax.Array  # (nbr,) bool: any live slot in the band
+    first_any: jax.Array  # (nbr,) bool: any live slot in the band's first row
+    last_any: jax.Array  # (nbr,) bool: any live slot in the band's last row
+
+
+def _values_to_planes(vals: Sequence[jax.Array]) -> jax.Array:
+    """List of (ny, nx, P) / (ny, nx, P, 2) arrays -> (L, P, ny, nx) planes
+    (vector arrays decompose into one plane per component)."""
+    comps = []
+    for v in vals:
+        if v.ndim == 3:
+            comps.append(v)
+        else:
+            comps.extend(v[..., k] for k in range(v.shape[-1]))
+    planes = jnp.stack([c.astype(REAL) for c in comps], axis=0)
+    return jnp.transpose(planes, (0, 3, 1, 2))
+
+
+def _block_query(planes: jax.Array, br: int) -> jax.Array:
+    """(L, P, ny, nx) -> (nbr, L, P, BR, NXP): non-overlapping row bands,
+    rows/lanes zero-padded."""
+    l, p, ny, nx = planes.shape
+    nbr = _num_bands(ny, br)
+    nxp = _nx_padded(nx)
+    padded = jnp.pad(planes, ((0, 0), (0, 0), (0, nbr * br - ny), (0, nxp - nx)))
+    return padded.reshape(l, p, nbr, br, nxp).transpose(2, 0, 1, 3, 4)
+
+
+def _block_source(planes: jax.Array, br: int) -> jax.Array:
+    """(L, P, ny, nx) -> (nbr, L, P, BR+2, NXS): overlapping (BR+2)-row windows
+    around each band with a one-cell zero halo ring (Pallas blocks cannot
+    overlap, so the windows are materialized host-side; columns pad to
+    NXP + LANE because Mosaic requires the last block dim to be 128-divisible
+    or equal to the array dim)."""
+    l, p, ny, nx = planes.shape
+    nbr = _num_bands(ny, br)
+    nxs = _nx_padded(nx) + LANE
+    padded = jnp.pad(
+        planes, ((0, 0), (0, 0), (1, nbr * br - ny + 1), (1, nxs - nx - 1))
+    )
+    return jnp.stack(
+        [padded[:, :, i * br : i * br + br + 2] for i in range(nbr)], axis=0
+    )
+
+
+def _band_bits(mask: jax.Array, br: int):
+    """(ny, nx, P) mask -> (band_any, first_any, last_any), each (nbr,) bool."""
+    ny = mask.shape[0]
+    nbr = _num_bands(ny, br)
+    row_any = jnp.any(mask, axis=(1, 2))
+    row_any = jnp.pad(row_any, (0, nbr * br - ny))
+    bands = row_any.reshape(nbr, br)
+    return jnp.any(bands, axis=1), bands[:, 0], bands[:, -1]
+
+
+def build_geom(pos_pad: jax.Array, mask: jax.Array, br: int) -> SMGeom:
+    """Blocked geometry for one index space from its padded positions + mask."""
+    planes = _values_to_planes([pos_pad, mask.astype(REAL)])  # x, y, mask
+    band_any, first_any, last_any = _band_bits(mask, br)
+    return SMGeom(
+        q_geom=_block_query(planes, br),
+        s_geom=_block_source(planes, br),
+        band_any=band_any,
+        first_any=first_any,
+        last_any=last_any,
+    )
+
+
+def pass_flags(q: SMGeom, s: SMGeom) -> jax.Array:
+    """(nbr, 1) int32 skip flags for a pass with query space q, source space s."""
+    false = jnp.zeros((1,), dtype=bool)
+    below = jnp.concatenate([false, s.last_any[:-1]])  # row above the band
+    above = jnp.concatenate([s.first_any[1:], false])  # row below the band
+    window = s.band_any | below | above
+    return (q.band_any & window).astype(jnp.int32)[:, None]
+
+
+def _sm_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, radius_sq, *refs):
+    """Pallas kernel body. refs: flag(SMEM), *scalars(SMEM), q_geom, s_geom,
+    [q_vals], [s_vals], out."""
+    flag_ref = refs[0]
+    flag = flag_ref[pl.program_id(0), 0]
+    scalars = tuple(refs[1 + i][0, 0] for i in range(n_sc))
+    qg = refs[1 + n_sc]
+    sg = refs[2 + n_sc]
+    idx = 3 + n_sc
+    qv = refs[idx] if n_qv else None
+    idx += 1 if n_qv else 0
+    sv = refs[idx] if n_sv else None
+    out_ref = refs[-1]
+
+    @pl.when(flag == 0)
+    def _skip():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(flag != 0)
+    def _run():
+        for qp in range(p):
+            qx = qg[0, 0, qp]
+            qy = qg[0, 1, qp]
+            qm = qg[0, 2, qp] > 0.0
+            q_planes = tuple(qv[0, l, qp] for l in range(n_qv))
+            accs = [jnp.zeros((br, nx), dtype=REAL) for _ in range(n_out)]
+            for dyv in range(3):
+                for dxv in range(3):
+                    for sp in range(ps):
+                        cx = sg[0, 0, sp, dyv : dyv + br, dxv : dxv + nx]
+                        cy = sg[0, 1, sp, dyv : dyv + br, dxv : dxv + nx]
+                        cm = sg[0, 2, sp, dyv : dyv + br, dxv : dxv + nx]
+                        s_planes = tuple(
+                            sv[0, l, sp, dyv : dyv + br, dxv : dxv + nx]
+                            for l in range(n_sv)
+                        )
+                        dx = cx - qx
+                        dy = cy - qy
+                        r_sq = dx * dx + dy * dy
+                        valid = (
+                            qm
+                            & (cm > 0.0)
+                            & (r_sq <= radius_sq)
+                            & (r_sq > MIN_DISTANCE_SQ)
+                        )
+                        outs = term_fn(
+                            dx, dy, r_sq, jnp.sqrt(r_sq), scalars, q_planes,
+                            s_planes,
+                        )
+                        for k, o in enumerate(outs):
+                            # where (not multiply): masked slots may hold
+                            # inf/NaN and NaN * 0 == NaN
+                            accs[k] = accs[k] + jnp.where(valid, o, 0.0)
+            for k in range(n_out):
+                out_ref[0, k, qp] = accs[k]
+
+
+def sm_pair_reduce(
+    term_fn,
+    n_out: int,
+    q: SMGeom,
+    s: SMGeom,
+    flags: jax.Array,
+    grid: DenseGridConfig,
+    br: int,
+    q_vals: Sequence[jax.Array] = (),
+    s_vals: Sequence[jax.Array] = (),
+    scalars: Sequence = (),
+    interpret: bool = None,
+):
+    """Masked pair reduction over each query slot's 3x3 cell neighborhood,
+    computed band-by-band in one slot-major Pallas kernel.
+
+    Same semantics as dense_grid.pair_reduce restricted to plane-form term
+    functions: `term_fn(dx, dy, r_sq, r, scalars, q_planes, s_planes)` returns
+    `n_out` (BR, NX) planes per (query-slot, view, source-slot) combination;
+    invalid pairs are zeroed and everything is summed over the candidate axis.
+    `q_vals` / `s_vals` are (ny, nx, P[, 2]) padded arrays (vectors decompose
+    into component planes, in order). Returns a list of `n_out` (ny, nx, P)
+    float32 arrays.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ny, nx = grid.ny, grid.nx
+    nbr = q.q_geom.shape[0]
+    p = q.q_geom.shape[2]
+    ps = s.s_geom.shape[2]
+    nxp = q.q_geom.shape[4]
+    nxs = s.s_geom.shape[4]
+
+    qv_b = _block_query(_values_to_planes(q_vals), br) if q_vals else None
+    sv_b = _block_source(_values_to_planes(s_vals), br) if s_vals else None
+    n_qv = qv_b.shape[1] if q_vals else 0
+    n_sv = sv_b.shape[1] if s_vals else 0
+
+    scalars_2d = [jnp.asarray(a, dtype=REAL).reshape(1, 1) for a in scalars]
+
+    def vmem_spec(a):
+        blk = (1,) + a.shape[1:]
+        nd = a.ndim
+        return pl.BlockSpec(
+            blk, lambda i, nd=nd: (i,) + (0,) * (nd - 1), memory_space=pltpu.VMEM
+        )
+
+    # the whole flag vector stays SMEM-resident (Mosaic requires block dims
+    # divisible by the register tile OR equal to the array dims); the kernel
+    # picks its band's flag by program_id
+    flag_spec = pl.BlockSpec(
+        flags.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    operands = [flags] + scalars_2d + [q.q_geom, s.s_geom]
+    in_specs = (
+        [flag_spec]
+        + [scalar_spec for _ in scalars_2d]
+        + [vmem_spec(q.q_geom), vmem_spec(s.s_geom)]
+    )
+    if q_vals:
+        operands.append(qv_b)
+        in_specs.append(vmem_spec(qv_b))
+    if s_vals:
+        operands.append(sv_b)
+        in_specs.append(vmem_spec(sv_b))
+
+    out_shape = jax.ShapeDtypeStruct((nbr, n_out, p, br, nxp), REAL)
+    out_spec = pl.BlockSpec(
+        (1, n_out, p, br, nxp), lambda i: (i, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(
+        _sm_kernel, term_fn, len(scalars_2d), n_qv, n_sv, n_out, p, ps, br, nxp,
+        grid.radius_sq,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbr,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        # the 5-output ctx pass at the 1M grid (NXP 1664) needs 17.1 MB of
+        # scoped VMEM — just past the default 16 MB limit; v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(*operands)
+
+    # (nbr, n_out, P, BR, NXP) -> n_out planes of (ny, nx, P)
+    out = out.transpose(1, 0, 3, 4, 2).reshape(n_out, nbr * br, nxp, p)
+    out = out[:, :ny, :nx]
+    return [out[k] for k in range(n_out)]

@@ -43,6 +43,12 @@ class SmoothingKernel:
 
     def gradient(self, ri_to_rj, r_sq, r):
         """dW/d(r_i): ``c(r) * ri_to_rj`` with c >= 0. ri_to_rj shape (..., 2)."""
+        return self._scale(self.gradient_coefficient(r_sq, r), ri_to_rj)
+
+    def gradient_coefficient(self, r_sq, r):
+        """The scalar c >= 0 with gradient == c * ri_to_rj (kernel.rs:22-28
+        convention). Plane-form passes (ops/pallas_slotmajor.py) consume the
+        coefficient directly so vector components stay separate planes."""
         raise NotImplementedError
 
     def gradient_from_positions(self, ri, rj):
@@ -78,9 +84,9 @@ class Poly6(SmoothingKernel):
         dsq = jnp.maximum(self._hsq - r_sq, 0.0)
         return self._norm * dsq * dsq * dsq
 
-    def gradient(self, ri_to_rj, r_sq, r):
+    def gradient_coefficient(self, r_sq, r):
         dsq = jnp.maximum(self._hsq - r_sq, 0.0)
-        return self._scale(self._norm_grad * dsq * dsq, ri_to_rj)
+        return self._norm_grad * dsq * dsq
 
 
 @dataclass(frozen=True)
@@ -99,10 +105,9 @@ class Spiky(SmoothingKernel):
         hsubr = jnp.maximum(self.h - r, 0.0)
         return self._norm * hsubr * hsubr * hsubr
 
-    def gradient(self, ri_to_rj, r_sq, r):
+    def gradient_coefficient(self, r_sq, r):
         hsubr = jnp.maximum(self.h - r, 0.0)
-        c = self._norm_grad * hsubr * hsubr / (r + DIVISION_EPSILON)
-        return self._scale(c, ri_to_rj)
+        return self._norm_grad * hsubr * hsubr / (r + DIVISION_EPSILON)
 
 
 @dataclass(frozen=True)
@@ -124,7 +129,7 @@ class CubicSpline(SmoothingKernel):
         w = jnp.where(q <= 0.5, inner, jnp.where(q <= 1.0, outer, 0.0))
         return self._norm * w
 
-    def gradient(self, ri_to_rj, r_sq, r):
+    def gradient_coefficient(self, r_sq, r):
         q = r * self._h_inv
         # The reference divides by r without an epsilon (cubic.rs:44-47); we add the
         # shared DIVISION_EPSILON to keep masked / exactly-coincident pair slots NaN
@@ -134,7 +139,7 @@ class CubicSpline(SmoothingKernel):
         factor = 1.0 - q
         outer = factor * factor / r_safe
         c = jnp.where(q <= 0.5, inner, jnp.where(q < 1.0, outer, 0.0))
-        return self._scale(self._norm_grad * c, ri_to_rj)
+        return self._norm_grad * c
 
 
 @dataclass(frozen=True)
@@ -157,11 +162,10 @@ class WendlandQuinticC2(SmoothingKernel):
         omq_sq = one_minus_q * one_minus_q
         return self._norm * omq_sq * omq_sq * (q + 0.25)
 
-    def gradient(self, ri_to_rj, r_sq, r):
+    def gradient_coefficient(self, r_sq, r):
         q = jnp.minimum(r * self._h_inv, 1.0)
         one_minus_q = 1.0 - q
-        c = self._norm_grad * one_minus_q * one_minus_q * one_minus_q
-        return self._scale(c, ri_to_rj)
+        return self._norm_grad * one_minus_q * one_minus_q * one_minus_q
 
 
 @dataclass(frozen=True)
