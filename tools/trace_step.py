@@ -59,11 +59,13 @@ def main():
     boundary = world.boundary_dense(grid)
     carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
     simulate = jax.jit(solver.simulate, static_argnums=2)
-    carry, _ = simulate(carry, boundary, 50)  # settle + compile
+    settle = int(os.environ.get("YASPH_TRACE_SETTLE", 50))
+    traced = int(os.environ.get("YASPH_TRACE_STEPS", 10))
+    carry, _ = simulate(carry, boundary, settle)  # settle + compile
     _ = float(carry.time.total_simulated_time)
 
     with jax.profiler.trace(TRACE_DIR):
-        carry, _ = simulate(carry, boundary, 10)
+        carry, _ = simulate(carry, boundary, traced)
         _ = float(carry.time.total_simulated_time)
 
     paths = sorted(glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True))
@@ -110,7 +112,10 @@ def main():
         )
         grand = sum(sub.values())
         for name, ps in sub.most_common(40):
-            print(f"{ps / 1e9 / 10:9.3f} ms/step {ps / grand * 100:5.1f}%  {name[:110]}")
+            print(
+                f"{ps / 1e9 / traced:9.3f} ms/step {ps / grand * 100:5.1f}%  "
+                f"{name[:110]}"
+            )
 
 
 if __name__ == "__main__":
