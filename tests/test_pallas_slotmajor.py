@@ -25,6 +25,7 @@ from yasph2d_tpu.ops.pallas_slotmajor import (
     build_geom,
     pass_flags,
     sm_pair_reduce,
+    sm_rebucket,
 )
 from yasph2d_tpu.ops.smoothing_kernels import WendlandQuinticC2
 from yasph2d_tpu.timemanager import FixedTimeStep
@@ -142,6 +143,119 @@ def test_sm_band_skip_flags_zero_empty_bands():
     )
     np.testing.assert_allclose(np.asarray(ref), cnt, rtol=0, atol=0)
     assert np.all(cnt[10:] == 0.0)
+
+
+def test_sm_matches_xla_wcsph_forces():
+    """The WCSPH pressure + viscosity force pass in plane form (wcsph_dense's
+    forces_sm) vs the XLA dyn_forces pass."""
+    from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+    from yasph2d_tpu.ops.smoothing_kernels import Spiky
+
+    grid, pp, mask, vp, kernel = setup(seed=9)
+    h = grid.cell_size
+    spiky = Spiky(h)
+    visc = XSPHViscosityModel(smoothing_length=h)
+    rng = np.random.default_rng(2)
+    m, dt = 2.5, jnp.float32(1e-3)
+    dens = jnp.asarray(
+        rng.uniform(900.0, 1100.0, mask.shape).astype(np.float32)
+    )
+    pres = jnp.asarray(
+        rng.uniform(0.0, 50.0, mask.shape).astype(np.float32)
+    )
+
+    def dyn_forces(ri, r_sq, r, dt_s, p_i, rho_i, v_i, p_j, rho_j, v_j):
+        coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
+        f = coef[..., None] * spiky.gradient(ri, r_sq, r)
+        return f + visc.compute_viscous_acceleration(
+            dt_s, r_sq, r, m, rho_j, v_j - v_i
+        )
+
+    ref = pair_reduce(
+        dyn_forces, pp, mask, pp, mask, grid,
+        source_values=(pres, dens, vp), query_values=(pres, dens, vp),
+        scalar_args=(dt,),
+    )
+
+    def forces_sm(dx, dy, r_sq, r, scalars, q, s):
+        p_i, rho_i, vx_i, vy_i = q
+        p_j, rho_j, vx_j, vy_j = s
+        coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
+        gc = coef * spiky.gradient_coefficient(r_sq, r)
+        c = visc.viscous_coefficient(scalars[0], r_sq, r, m, rho_j)
+        return (gc * dx + c * (vx_j - vx_i), gc * dy + c * (vy_j - vy_i))
+
+    br = 4
+    sm = build_geom(pp, mask, br)
+    ax, ay = sm_pair_reduce(
+        forces_sm, 2, sm, sm, pass_flags(sm, sm), grid, br,
+        q_vals=(pres, dens, vp), s_vals=(pres, dens, vp), scalars=(dt,),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), np.stack([ax, ay], -1), rtol=1e-4, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("br", [4, 7])  # 20 % 7 != 0: uneven final band
+def test_sm_rebucket_matches_xla_exactly(br):
+    """sm_rebucket vs dense_grid.rebucket: positions, values, mask, and drop
+    count must be BIT-EXACT (both paths pass payload through unmodified and
+    compact in the same deterministic (view, slot) order)."""
+    from yasph2d_tpu.ops.dense_grid import rebucket
+
+    grid, pp, mask, vp, kernel = setup(seed=11)
+    rng = np.random.default_rng(7)
+    # advect by < one cell (the CFL contract) so every move stays in the 3x3
+    # window; also empty the top rows so band skipping engages
+    keep = jnp.arange(grid.ny)[:, None, None] < 14
+    mask = mask & keep
+    delta = jnp.asarray(
+        rng.uniform(-0.9, 0.9, pp.shape).astype(np.float32) * grid.cell_size
+    )
+    pos = jnp.where(mask[..., None], pp + delta, 0.0)
+    values = jnp.concatenate(
+        [vp, jnp.sum(vp, -1, keepdims=True),
+         jnp.ones_like(vp[..., :1])], axis=-1
+    )  # D = 4, like the DFSPH payload
+
+    ref_pos, ref_mask, ref_vals, ref_drop = rebucket(
+        pos, mask, values, grid, row_block=grid.ny
+    )
+    out_pos, out_mask, out_vals, out_drop = sm_rebucket(
+        pos, mask, values, grid, br=br, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref_mask), np.asarray(out_mask))
+    np.testing.assert_array_equal(np.asarray(ref_pos), np.asarray(out_pos))
+    np.testing.assert_array_equal(np.asarray(ref_vals), np.asarray(out_vals))
+    assert int(ref_drop) == int(out_drop)
+
+
+def test_sm_rebucket_overflow_drops():
+    """Target-cell occupancy overflow must drop and count exactly like the XLA
+    re-bucket (funnel every particle of a 3x3 block into its center cell)."""
+    from yasph2d_tpu.ops.dense_grid import rebucket
+
+    grid, pp, mask, vp, kernel = setup(seed=5, occupancy=4)
+    h = grid.cell_size
+    # send every live particle in cell rows/cols 4..6 to the center of cell (5,5)
+    in_block = (
+        (jnp.arange(grid.ny)[:, None, None] >= 4)
+        & (jnp.arange(grid.ny)[:, None, None] <= 6)
+        & (jnp.arange(grid.nx)[None, :, None] >= 4)
+        & (jnp.arange(grid.nx)[None, :, None] <= 6)
+        & mask
+    )
+    center = jnp.asarray([5.5 * h, 5.5 * h], dtype=jnp.float32)
+    pos = jnp.where(in_block[..., None], center, pp)
+    pos = jnp.where(mask[..., None], pos, 0.0)
+
+    ref = rebucket(pos, mask, vp, grid, row_block=grid.ny)
+    out = sm_rebucket(pos, mask, vp, grid, br=4, interpret=True)
+    assert int(ref[3]) == int(out[3]) and int(out[3]) > 0
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(out[2]))
 
 
 @pytest.mark.slow

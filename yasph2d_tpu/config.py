@@ -142,6 +142,11 @@ class SolverConfig:
     # rebuilds every step); k > 1 is the opt-in Verlet-style speed mode, see
     # PERF.md and models/dfsph_dense.py for the bounded-deviation contract
     rebuild_every: int = 1
+    # Route fluid-fluid pair passes and the padded-resident re-bucket through
+    # the slot-major Pallas kernels (ops/pallas_slotmajor.py) — the fastest
+    # measured single-device path (PERF.md round 3). Dense/padded solvers only;
+    # requires a TPU backend (or Pallas interpret mode elsewhere).
+    use_pallas_slotmajor: bool = False
 
 
 @dataclass(frozen=True)
@@ -257,6 +262,8 @@ class SimulationConfig:
             grid = world.dense_grid(
                 occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
             )
+            if sc.use_pallas_slotmajor:
+                grid = dataclasses.replace(grid, use_pallas_slotmajor=True)
             wcls = (
                 WCSPHPaddedSolver if sc.kind == "wcsph_padded" else WCSPHDenseSolver
             )
@@ -309,6 +316,8 @@ class SimulationConfig:
             grid = world.dense_grid(
                 occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
             )
+            if sc.use_pallas_slotmajor:
+                grid = dataclasses.replace(grid, use_pallas_slotmajor=True)
             cls = DFSPHPaddedSolver if sc.kind == "dfsph_padded" else DFSPHDenseSolver
             solver = cls(
                 viscosity_model=viscosity,

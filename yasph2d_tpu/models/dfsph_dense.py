@@ -935,11 +935,19 @@ class DFSPHPaddedSolver(DFSPHDenseSolver):
                     [pred_pad, kappa_pad[..., None], carry.stiff_pad[..., None]],
                     axis=-1,
                 )
-                pos_pad, mask, extra, drops = rebucket(
-                    pos_pad, ctx.mask, extra, g,
-                    row_block=self.rebucket_row_block or g.row_block,
-                    row0=self._rebucket_row0(),
-                )
+                if g.use_pallas_slotmajor:
+                    from ..ops.pallas_slotmajor import sm_rebucket
+
+                    pos_pad, mask, extra, drops = sm_rebucket(
+                        pos_pad, ctx.mask, extra, g,
+                        br=self.rebucket_row_block or g.pallas_sm_row_block,
+                    )
+                else:
+                    pos_pad, mask, extra, drops = rebucket(
+                        pos_pad, ctx.mask, extra, g,
+                        row_block=self.rebucket_row_block or g.row_block,
+                        row0=self._rebucket_row0(),
+                    )
             pred_pad = extra[..., :2]
             kappa_pad = extra[..., 2]
             stiff_pad = extra[..., 3]

@@ -72,6 +72,17 @@ class WCSPHDenseSolver:
             ),
         )
         assert abs(self.grid.cell_size - h) < 1e-12
+        if self.grid.use_pallas_slotmajor:
+            assert not self.grid.use_pallas, (
+                "use_pallas_slotmajor excludes the gen-1 Pallas kernel"
+            )
+            assert self.grid.halo_axis is None, (
+                "the slot-major Pallas path has no halo collectives "
+                "(single-device only; shard_map solvers keep the XLA path)"
+            )
+            assert self.grid.pair_dtype == "float32", (
+                "the slot-major kernel computes in float32 planes"
+            )
         if self.grid.use_pallas:
             from functools import partial
 
@@ -106,8 +117,23 @@ class WCSPHDenseSolver:
         m = float(self.properties.particle_mass)
         rho0 = self.properties.fluid_density
 
-        w = lambda ri, r_sq, r: self.density_kernel.evaluate(r_sq, r)
-        dyn_w = self._reduce(w, pos_pad, mask, pos_pad, mask, g)
+        sm = flags = None
+        if g.use_pallas_slotmajor:
+            from ..ops.pallas_slotmajor import (
+                build_geom, pass_flags, sm_pair_reduce,
+            )
+
+            sm = build_geom(pos_pad, mask, g.pallas_sm_row_block)
+            flags = pass_flags(sm, sm)
+            (dyn_w,) = sm_pair_reduce(
+                lambda dx, dy, r_sq, r, sc, q, s: (
+                    self.density_kernel.evaluate(r_sq, r),
+                ),
+                1, sm, sm, flags, g, g.pallas_sm_row_block,
+            )
+        else:
+            w = lambda ri, r_sq, r: self.density_kernel.evaluate(r_sq, r)
+            dyn_w = self._reduce(w, pos_pad, mask, pos_pad, mask, g)
 
         def stat_terms(ri_to_rj, r_sq, r):
             w_b = self.pressure_kernel.evaluate(r_sq, r)
@@ -130,20 +156,47 @@ class WCSPHDenseSolver:
 
         pres_pad = tait_pressure(self.stiffness, rho0, dens_pad)
 
-        def dyn_forces(ri_to_rj, r_sq, r, dt_s, p_i, rho_i, v_i, p_j, rho_j, v_j):
-            coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
-            f = coef[..., None] * self.pressure_kernel.gradient(ri_to_rj, r_sq, r)
-            return f + self.viscosity_model.compute_viscous_acceleration(
-                dt_s, r_sq, r, m, rho_j, v_j - v_i
-            )
+        if sm is not None:
+            from ..ops.pallas_slotmajor import sm_pair_reduce
 
-        accel_pad = self._reduce(
-            dyn_forces, pos_pad, mask, pos_pad, mask, g,
-            source_values=(pres_pad, dens_pad, v_pad),
-            query_values=(pres_pad, dens_pad, v_pad),
-            scalar_args=(dt,),
-        ) + stat["force"]
-        return dens_pad, accel_pad
+            def forces_sm(dx, dy, r_sq, r, scalars, q, s):
+                p_i, rho_i, vx_i, vy_i = q
+                p_j, rho_j, vx_j, vy_j = s
+                coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
+                gc = coef * self.pressure_kernel.gradient_coefficient(r_sq, r)
+                c = self.viscosity_model.viscous_coefficient(
+                    scalars[0], r_sq, r, m, rho_j
+                )
+                return (
+                    gc * dx + c * (vx_j - vx_i),
+                    gc * dy + c * (vy_j - vy_i),
+                )
+
+            ax, ay = sm_pair_reduce(
+                forces_sm, 2, sm, sm, flags, g, g.pallas_sm_row_block,
+                q_vals=(pres_pad, dens_pad, v_pad),
+                s_vals=(pres_pad, dens_pad, v_pad),
+                scalars=(dt,),
+            )
+            accel_dyn = jnp.stack([ax, ay], axis=-1)
+        else:
+            def dyn_forces(ri_to_rj, r_sq, r, dt_s, p_i, rho_i, v_i, p_j, rho_j,
+                           v_j):
+                coef = -m * (p_i + p_j) / (2.0 * rho_i * rho_j)
+                f = coef[..., None] * self.pressure_kernel.gradient(
+                    ri_to_rj, r_sq, r
+                )
+                return f + self.viscosity_model.compute_viscous_acceleration(
+                    dt_s, r_sq, r, m, rho_j, v_j - v_i
+                )
+
+            accel_dyn = self._reduce(
+                dyn_forces, pos_pad, mask, pos_pad, mask, g,
+                source_values=(pres_pad, dens_pad, v_pad),
+                query_values=(pres_pad, dens_pad, v_pad),
+                scalar_args=(dt,),
+            )
+        return dens_pad, accel_dyn + stat["force"]
 
     def step(self, carry: WCSPHDenseCarry, boundary: BoundaryDense):
         """One simulation step (reference: wscsph.rs:126-179)."""
@@ -309,11 +362,19 @@ class WCSPHPaddedSolver(WCSPHDenseSolver):
 
         # neighborhood rebuild = windowed re-bucket (wscsph.rs:153)
         with jax.named_scope("NeighborhoodSearch.update_dynamic"):
-            pos_pad, mask, v_ext, drops = rebucket(
-                pos_pad, mask, v_pad, g,
-                row_block=self.rebucket_row_block or g.row_block,
-                row0=self._rebucket_row0(),
-            )
+            if g.use_pallas_slotmajor:
+                from ..ops.pallas_slotmajor import sm_rebucket
+
+                pos_pad, mask, v_ext, drops = sm_rebucket(
+                    pos_pad, mask, v_pad, g,
+                    br=self.rebucket_row_block or g.pallas_sm_row_block,
+                )
+            else:
+                pos_pad, mask, v_ext, drops = rebucket(
+                    pos_pad, mask, v_pad, g,
+                    row_block=self.rebucket_row_block or g.row_block,
+                    row0=self._rebucket_row0(),
+                )
         v_pad = v_ext
 
         dens_pad, accel_pad = self._density_and_forces(

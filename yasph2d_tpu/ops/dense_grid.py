@@ -520,6 +520,35 @@ def pair_map(
     return jax.tree_util.tree_map(mask_leaf, per_pair)
 
 
+def move_codes(positions_pad: jax.Array, mask: jax.Array, grid: DenseGridConfig,
+               row0=None) -> jax.Array:
+    """Per-slot clamped move code for the re-bucket, in the OLD slot layout.
+
+    A live slot whose (advected) position falls in cell (cy, cx) relative to its
+    current cell (iy, ix) gets code (dy+1)*3 + (dx+1) + 1 in 1..9 with
+    dy/dx = clip(c-i, -1, 1); dead slots get 0 (never selected). `row0` is the
+    shard's global cell-row offset (see `rebucket`)."""
+    ny, nx, p = mask.shape
+    iy = jnp.arange(ny, dtype=INDEX)[:, None, None]
+    if row0 is not None:
+        iy = iy + row0
+    ix = jnp.arange(nx, dtype=INDEX)[None, :, None]
+    cx, cy = cell_coords(positions_pad, grid)  # clamped into the (global) grid
+    if row0 is not None:
+        # cell_coords clamps cy into [0, ny-1] of the LOCAL grid config; recompute
+        # against the global row range so cross-shard moves survive
+        inv = jnp.asarray(1.0 / grid.cell_size, dtype=REAL)
+        origin = jnp.asarray(grid.origin, dtype=REAL)
+        n_shards = grid.halo_axis[1] if grid.halo_axis is not None else 1
+        cy = jnp.clip(
+            jnp.floor((positions_pad[..., 1] - origin[1]) * inv).astype(INDEX),
+            0, ny * n_shards - 1,
+        )
+    dy = jnp.clip(cy - iy, -1, 1)
+    dx = jnp.clip(cx - ix, -1, 1)
+    return jnp.where(mask, (dy + 1) * 3 + (dx + 1) + 1, 0).astype(jnp.int32)
+
+
 def rebucket(positions_pad: jax.Array, mask: jax.Array, values_pad: jax.Array,
              grid: DenseGridConfig, row_block: int = None, row0=None):
     """Windowed re-bucketing: move every live slot into the cell containing its
@@ -559,25 +588,7 @@ def rebucket(positions_pad: jax.Array, mask: jax.Array, values_pad: jax.Array,
     ny, nx, p = mask.shape
     d = values_pad.shape[-1]
 
-    # per-slot move code in the OLD layout
-    iy = jnp.arange(ny, dtype=INDEX)[:, None, None]
-    if row0 is not None:
-        iy = iy + row0
-    ix = jnp.arange(nx, dtype=INDEX)[None, :, None]
-    cx, cy = cell_coords(positions_pad, grid)  # clamped into the (global) grid
-    if row0 is not None:
-        # cell_coords clamps cy into [0, ny-1] of the LOCAL grid config; recompute
-        # against the global row range so cross-shard moves survive
-        inv = jnp.asarray(1.0 / grid.cell_size, dtype=REAL)
-        origin = jnp.asarray(grid.origin, dtype=REAL)
-        n_shards = grid.halo_axis[1] if grid.halo_axis is not None else 1
-        cy = jnp.clip(
-            jnp.floor((positions_pad[..., 1] - origin[1]) * inv).astype(INDEX),
-            0, ny * n_shards - 1,
-        )
-    dy = jnp.clip(cy - iy, -1, 1)
-    dx = jnp.clip(cx - ix, -1, 1)
-    code = jnp.where(mask, (dy + 1) * 3 + (dx + 1) + 1, 0).astype(jnp.int32)
+    code = move_codes(positions_pad, mask, grid, row0)
 
     # candidate payload: [positions | values]
     payload = jnp.concatenate([positions_pad, values_pad], axis=-1)

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..units import REAL
-from .dense_grid import MIN_DISTANCE_SQ, DenseGridConfig
+from .dense_grid import MIN_DISTANCE_SQ, DenseGridConfig, move_codes
 
 LANE = 128  # TPU lane width: the trailing spatial dim pads to a multiple
 
@@ -295,3 +295,115 @@ def sm_pair_reduce(
     out = out.transpose(1, 0, 3, 4, 2).reshape(n_out, nbr * br, nxp, p)
     out = out[:, :ny, :nx]
     return [out[k] for k in range(n_out)]
+
+
+def _sm_rebucket_kernel(n_pay, p, br, nx, *refs):
+    """Slot-major re-bucket body. refs: flag(SMEM), src (1, 1+n_pay, P, BR+2,
+    NXS) with plane 0 = move code, out (1, n_pay+1, P, BR, NXP) with the last
+    plane = per-cell incoming total (identical for every qp; consumers read
+    slot 0).
+
+    For each target slot qp, candidates are scanned in the XLA re-bucket's
+    (view, source-slot) order with a running selected-count plane; a candidate
+    lands in qp iff its code matches the view and its rank equals qp. Payload
+    passes through EXACTLY: each (cell, qp) has at most one hit, so the
+    accumulating f32 adds only ever add one nonzero term (no precision caveat,
+    unlike the XLA path's one-hot dot which needs Precision.HIGHEST)."""
+    flag_ref, src, out_ref = refs
+    flag = flag_ref[pl.program_id(0), 0]
+
+    @pl.when(flag == 0)
+    def _skip():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(flag != 0)
+    def _run():
+        for qp in range(p):
+            cnt = jnp.zeros((br, nx), dtype=REAL)
+            accs = [jnp.zeros((br, nx), dtype=REAL) for _ in range(n_pay)]
+            for dyv in range(3):
+                for dxv in range(3):
+                    # a candidate seen through view (dyv, dxv) lands here iff
+                    # its move code is (2-dyv)*3 + (2-dxv) + 1 (dense_grid.rebucket)
+                    expected = float((2 - dyv) * 3 + (2 - dxv) + 1)
+                    for sp in range(p):
+                        c = src[0, 0, sp, dyv : dyv + br, dxv : dxv + nx]
+                        sel = c == expected
+                        hit = sel & (cnt == float(qp))
+                        for k in range(n_pay):
+                            accs[k] = accs[k] + jnp.where(
+                                hit,
+                                src[0, 1 + k, sp, dyv : dyv + br, dxv : dxv + nx],
+                                0.0,
+                            )
+                        cnt = cnt + jnp.where(sel, 1.0, 0.0)
+            for k in range(n_pay):
+                out_ref[0, k, qp] = accs[k]
+            out_ref[0, n_pay, qp] = cnt  # full selected count == incoming total
+
+
+def sm_rebucket(positions_pad, mask, values_pad, grid: DenseGridConfig,
+                br: int, interpret: bool = None):
+    """Slot-major Pallas re-bucket — bit-exact replacement for
+    dense_grid.rebucket on a single device (no halo collectives; the shard_map
+    solvers keep the XLA path).
+
+    Same contract as dense_grid.rebucket: every live slot moves to the cell
+    containing its position (clamped into the old 3x3 window by the move code),
+    selected candidates compact into slots in deterministic (view, slot) order,
+    target-cell overflow beyond P drops the particle (counted). Returns
+    (new_positions_pad, new_mask, new_values_pad, num_dropped).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert grid.halo_axis is None, (
+        "sm_rebucket has no halo exchange; sharded solvers use dense_grid.rebucket"
+    )
+    ny, nx, p = mask.shape
+    d = values_pad.shape[-1]
+    n_pay = 2 + d
+
+    code = move_codes(positions_pad, mask, grid).astype(REAL)
+    planes = _values_to_planes([code, positions_pad, values_pad])
+    src = _block_source(planes, br)  # (nbr, 1+n_pay, P, BR+2, NXS)
+    nbr = src.shape[0]
+    nxp = _nx_padded(nx)
+
+    # a band runs iff any live source slot sits in its (BR+2)-row window
+    band_any, first_any, last_any = _band_bits(mask, br)
+    false = jnp.zeros((1,), dtype=bool)
+    below = jnp.concatenate([false, last_any[:-1]])
+    above = jnp.concatenate([first_any[1:], false])
+    flags = (band_any | below | above).astype(jnp.int32)[:, None]
+
+    flag_spec = pl.BlockSpec(flags.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    src_spec = pl.BlockSpec(
+        (1,) + src.shape[1:], lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((nbr, n_pay + 1, p, br, nxp), REAL)
+    out_spec = pl.BlockSpec(
+        (1, n_pay + 1, p, br, nxp), lambda i: (i, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_sm_rebucket_kernel, n_pay, p, br, nxp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbr,),
+        in_specs=[flag_spec, src_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(flags, src)
+
+    # (nbr, n_pay+1, P, BR, NXP) -> planes of (ny, nx, P)
+    out = out.transpose(1, 0, 3, 4, 2).reshape(n_pay + 1, nbr * br, nxp, p)
+    out = out[:, :ny, :nx]
+    new_pos = jnp.stack([out[0], out[1]], axis=-1)
+    new_values = jnp.stack([out[2 + k] for k in range(d)], axis=-1)
+    total = out[n_pay][..., 0].astype(jnp.int32)  # same for every slot
+    lane = jnp.arange(p, dtype=jnp.int32)
+    new_mask = lane[None, None, :] < total[:, :, None]
+    num_dropped = jnp.sum(jnp.maximum(total - p, 0))
+    return new_pos, new_mask, new_values, num_dropped.astype(jnp.int32)
