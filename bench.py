@@ -14,7 +14,9 @@ against the BASELINE.json north-star target of 1e9 particle-steps/sec (value/1e9
 Env knobs:
   YASPH_BENCH_SIZES      comma list of approx fluid counts (default 10000,100000,1000000)
   YASPH_BENCH_STEPS      timed steps per size (default 100)
-  YASPH_BENCH_BACKEND    padded | dense | table (default padded)
+  YASPH_BENCH_BACKEND    padded | plane | dense | table (default padded; plane =
+                         plane-resident slot-major Pallas carry, see
+                         models/dfsph_plane.py)
   YASPH_BENCH_OCCUPANCY  dense slot occupancy (default 7, see PERF.md)
   YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default size-based, PERF.md)
   YASPH_BENCH_PAIR_DTYPE float32 | bfloat16 (default per PERF.md measurements)
@@ -82,7 +84,7 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
     viscosity = XSPHViscosityModel(
         smoothing_length=world.properties.smoothing_length
     )
-    if backend in ("dense", "padded"):
+    if backend in ("dense", "padded", "plane"):
         from yasph2d_tpu.models.dfsph_dense import (
             DFSPHDenseSolver,
             DFSPHPaddedSolver,
@@ -102,12 +104,18 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             col_block=int(cb) if cb else None,
             row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", rb_default)),
             use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
-            use_pallas_slotmajor=os.environ.get("YASPH_BENCH_SLOTMAJOR") == "1",
+            use_pallas_slotmajor=(
+                os.environ.get("YASPH_BENCH_SLOTMAJOR") == "1"
+                or backend == "plane"
+            ),
             pallas_sm_row_block=int(os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)),
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
             pair_view_loop=os.environ.get("YASPH_BENCH_VIEW_LOOP") == "1",
         )
-        cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver
+        if backend == "plane":
+            from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver as cls
+        else:
+            cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver
         solver = cls(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,
@@ -119,6 +127,8 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             ),
         )
         boundary = world.boundary_dense(grid)
+        if backend == "plane":
+            boundary = solver.boundary_planes(boundary)
         _log(f"dense grid: {grid.nx}x{grid.ny} cells, occupancy {grid.occupancy}, "
              f"pair_dtype {grid.pair_dtype}")
     else:
@@ -134,11 +144,12 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
 
     t0 = time.perf_counter()
     carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
-    _ = (
-        float(carry.particles.densities[0])
-        if hasattr(carry, "particles")
-        else float(carry.ctx.densities_pad.ravel()[0])
-    )
+    if hasattr(carry, "particles"):
+        _ = float(carry.particles.densities[0])
+    elif hasattr(carry.ctx, "densities_pad"):
+        _ = float(carry.ctx.densities_pad.ravel()[0])
+    else:  # plane-resident carry
+        _ = float(carry.ctx.densities.ravel()[0])
     _log(f"init_carry: {time.perf_counter() - t0:.1f}s")
     if hasattr(carry, "particles"):
         n = int(carry.particles.positions.shape[0])

@@ -1,0 +1,145 @@
+"""Plane-form (PF) slot-major kernels vs the band-blocked sm_* generation.
+
+pf_pair_reduce / pf_rebucket run the identical (qp, view, sp) accumulation as
+sm_pair_reduce / sm_rebucket — outputs must be BIT-EQUAL given equal inputs
+(interpret mode on the forced-CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yasph2d_tpu.ops.dense_grid import DenseGridConfig
+from yasph2d_tpu.ops.pallas_slotmajor import (
+    build_geom,
+    from_planes,
+    pass_flags,
+    pf_build_geom,
+    pf_dims,
+    pf_pair_reduce,
+    pf_rebucket,
+    sm_pair_reduce,
+    sm_rebucket,
+    to_planes,
+)
+
+BR = 4
+
+
+def _random_grid(seed, ny=11, nx=17, p=3, fill=0.5):
+    rng = np.random.default_rng(seed)
+    grid = DenseGridConfig(
+        origin=(0.0, 0.0), cell_size=0.1, ny=ny, nx=nx, occupancy=p
+    )
+    mask = rng.random((ny, nx, p)) < fill
+    # live slots: a position inside (or near) the slot's own cell
+    cy, cx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    base = np.stack([cx, cy], axis=-1)[:, :, None, :] * 0.1
+    pos = base + rng.random((ny, nx, p, 2)) * 0.1
+    pos = np.where(mask[..., None], pos, 0.0).astype(np.float32)
+    return grid, jnp.asarray(pos), jnp.asarray(mask)
+
+
+def _terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+    w = 1.0 / (r_sq + 0.01)
+    return (w, w * dx, (q_planes[0] - s_planes[0]) * dy * scalars[0])
+
+
+def test_pf_pair_reduce_bit_equal_to_sm():
+    grid, pos, mask = _random_grid(0)
+    rng = np.random.default_rng(1)
+    val = jnp.asarray(rng.random((grid.ny, grid.nx, grid.occupancy), np.float32))
+
+    sm = build_geom(pos, mask, BR)
+    sm_out = sm_pair_reduce(
+        _terms, 3, sm, sm, pass_flags(sm, sm), grid, BR,
+        q_vals=(val,), s_vals=(val,), scalars=(1.7,),
+    )
+
+    pos_pf = to_planes(pos, grid, BR)
+    mask_pf = to_planes(mask, grid, BR).astype(bool)
+    val_pf = to_planes(val, grid, BR)
+    pf = pf_build_geom(pos_pf, mask_pf, BR)
+    np.testing.assert_array_equal(np.asarray(pf.band_any), np.asarray(sm.band_any))
+    pf_out = pf_pair_reduce(
+        _terms, 3, pf, pf, pass_flags(pf, pf), grid, BR,
+        q_vals=(val_pf,), s_vals=(val_pf,), scalars=(1.7,),
+    )
+    for k in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(from_planes(pf_out[k], grid)), np.asarray(sm_out[k])
+        )
+
+
+def test_pf_pair_reduce_vector_vals_and_distinct_spaces():
+    grid, pos, mask = _random_grid(2, fill=0.7)
+    _, spos, smask = _random_grid(3, fill=0.2)
+    rng = np.random.default_rng(4)
+    vec = jnp.asarray(rng.random((grid.ny, grid.nx, grid.occupancy, 2), np.float32))
+
+    def terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+        return ((q_planes[0] - s_planes[0]) * dx + (q_planes[1] - s_planes[1]) * dy,)
+
+    smq = build_geom(pos, mask, BR)
+    sms = build_geom(spos, smask, BR)
+    (sm_out,) = sm_pair_reduce(
+        terms, 1, smq, sms, pass_flags(smq, sms), grid, BR,
+        q_vals=(vec,), s_vals=(vec,),
+    )
+
+    pfq = pf_build_geom(to_planes(pos, grid, BR), to_planes(mask, grid, BR).astype(bool), BR)
+    pfs = pf_build_geom(to_planes(spos, grid, BR), to_planes(smask, grid, BR).astype(bool), BR)
+    vec_pf = to_planes(vec, grid, BR)
+    pf_out = pf_pair_reduce(
+        terms, 1, pfq, pfs, pass_flags(pfq, pfs), grid, BR,
+        q_vals=(vec_pf,), s_vals=(vec_pf,),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(from_planes(pf_out[0], grid)), np.asarray(sm_out)
+    )
+
+
+def test_pf_rebucket_bit_equal_to_sm():
+    grid, pos, mask = _random_grid(5, fill=0.4)
+    rng = np.random.default_rng(6)
+    # advect: random sub-cell displacements (some cross cell borders)
+    disp = (rng.random((grid.ny, grid.nx, grid.occupancy, 2)) - 0.5) * 0.12
+    adv = jnp.where(mask[..., None], pos + disp.astype(np.float32), 0.0)
+    vals = jnp.asarray(
+        rng.random((grid.ny, grid.nx, grid.occupancy, 3), np.float32)
+    )
+
+    sm_pos, sm_mask, sm_vals, sm_drops = sm_rebucket(adv, mask, vals, grid, br=BR)
+
+    vals_pf = jnp.stack(
+        [to_planes(vals[..., k], grid, BR) for k in range(3)], axis=0
+    )
+    pf_pos, pf_mask, pf_vals, pf_drops = pf_rebucket(
+        to_planes(adv, grid, BR),
+        to_planes(mask, grid, BR).astype(bool),
+        vals_pf,
+        grid, br=BR,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(from_planes(pf_pos, grid)), np.asarray(sm_pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(from_planes(pf_mask.astype(jnp.float32), grid) > 0.5),
+        np.asarray(sm_mask),
+    )
+    for k in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(from_planes(pf_vals[k], grid)), np.asarray(sm_vals[..., k])
+        )
+    assert int(pf_drops) == int(sm_drops)
+
+
+def test_pf_dims_and_roundtrip():
+    grid, pos, mask = _random_grid(7)
+    nbr, nyp, nxp, nxs = pf_dims(grid, BR)
+    assert nyp % BR == 0 and nyp >= grid.ny
+    assert nxp % 128 == 0 and nxp >= grid.nx
+    assert nxs == nxp + 128
+    p = to_planes(pos, grid, BR)
+    assert p.shape == (2, grid.occupancy, nyp, nxp)
+    np.testing.assert_array_equal(np.asarray(from_planes(p, grid)), np.asarray(pos))

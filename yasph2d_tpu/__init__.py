@@ -34,6 +34,7 @@ def __getattr__(name):
         "DFSPHSolver": ("yasph2d_tpu.models.dfsph", "DFSPHSolver"),
         "DFSPHDenseSolver": ("yasph2d_tpu.models.dfsph_dense", "DFSPHDenseSolver"),
         "DFSPHPaddedSolver": ("yasph2d_tpu.models.dfsph_dense", "DFSPHPaddedSolver"),
+        "DFSPHPlaneSolver": ("yasph2d_tpu.models.dfsph_plane", "DFSPHPlaneSolver"),
         "ShardedDFSPHPadded": (
             "yasph2d_tpu.parallel.shard_dense", "ShardedDFSPHPadded"
         ),

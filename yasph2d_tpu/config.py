@@ -127,6 +127,7 @@ class SolverConfig:
 
     kind: str = "dfsph_padded"
     # wcsph | wcsph_dense | wcsph_padded | dfsph | dfsph_dense | dfsph_padded
+    # | dfsph_plane (plane-resident slot-major Pallas carry, single device)
     max_avg_density_error: float = 0.01 / 100.0
     max_density_iterations: int = 200
     max_divergence_error: float = 0.1 / 100.0
@@ -310,15 +311,21 @@ class SimulationConfig:
             )
             boundary = world.boundary_grid()
             carry = solver.init_carry(world.initial_state(), boundary)
-        elif sc.kind in ("dfsph_dense", "dfsph_padded"):
+        elif sc.kind in ("dfsph_dense", "dfsph_padded", "dfsph_plane"):
             from .models.dfsph_dense import DFSPHDenseSolver, DFSPHPaddedSolver
 
             grid = world.dense_grid(
                 occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
             )
-            if sc.use_pallas_slotmajor:
+            if sc.use_pallas_slotmajor or sc.kind == "dfsph_plane":
                 grid = dataclasses.replace(grid, use_pallas_slotmajor=True)
-            cls = DFSPHPaddedSolver if sc.kind == "dfsph_padded" else DFSPHDenseSolver
+            if sc.kind == "dfsph_plane":
+                from .models.dfsph_plane import DFSPHPlaneSolver as cls
+            else:
+                cls = (
+                    DFSPHPaddedSolver if sc.kind == "dfsph_padded"
+                    else DFSPHDenseSolver
+                )
             solver = cls(
                 viscosity_model=viscosity,
                 properties=world.properties,
@@ -332,6 +339,10 @@ class SimulationConfig:
                 rebuild_every=sc.rebuild_every,
             )
             boundary = world.boundary_dense(grid, sc.dense_boundary_occupancy)
+            if sc.kind == "dfsph_plane":
+                # the plane solver steps against the boundary's prebuilt
+                # plane-form geometry (built once per boundary change)
+                boundary = solver.boundary_planes(boundary)
             carry = solver.init_carry(world.initial_state(), boundary)
         else:
             raise ValueError(f"unknown solver kind {sc.kind!r}")

@@ -297,6 +297,366 @@ def sm_pair_reduce(
     return [out[k] for k in range(n_out)]
 
 
+# --------------------------------------------------------------------------
+# Plane-form (PF) layout: the zero-transpose generation.
+#
+# The band-blocked layout above still pays per-pass layout flips: callers hold
+# (ny, nx, P) solver arrays, so every sm_pair_reduce call transposes values
+# into plane form, materializes band blocks with the band axis LEADING, and
+# transposes the output back. In PF form the solver state itself lives as
+# (P, NYP, NXP) planes (vectors as (2, P, NYP, NXP)), with
+#   NYP = ceil(ny / BR) * BR   (whole bands)
+#   NXP = ceil(nx / 128) * 128 (whole lanes)
+# and the padding region permanently dead (mask False). Then:
+#   - query blocking is a RESHAPE: (L, P, NYP, NXP) -> (L, P, nbr, BR, NXP)
+#     with the band axis indexed mid-tensor by the BlockSpec index map;
+#   - kernel outputs come back as (n_out, P, nbr, BR, NXP) -> reshape to
+#     (n_out, P, NYP, NXP) — the component axis of a vector output IS the
+#     leading axis, no stack, no transpose;
+#   - only source operands still materialize (window overlap forces it), and
+#     that is a pad + band-slice stack of large contiguous rows — no transpose.
+# The boundary (static) index space gets its own PFGeom built once at scene
+# build, so the fluid-vs-boundary ctx pass runs in the same kernel with
+# per-band thin-shell skipping via the flags.
+# --------------------------------------------------------------------------
+
+
+class PFGeom(NamedTuple):
+    """Plane-form blocked geometry of one index space. Field names match SMGeom
+    so `pass_flags` works on either."""
+
+    q_geom: jax.Array  # (3, P, nbr, BR, NXP) f32: x, y, mask planes
+    s_geom: jax.Array  # (3, P, nbr, BR+2, NXS) f32: haloed source windows
+    band_any: jax.Array  # (nbr,) bool
+    first_any: jax.Array  # (nbr,) bool
+    last_any: jax.Array  # (nbr,) bool
+
+
+def pf_dims(grid: DenseGridConfig, br: int):
+    """(nbr, NYP, NXP, NXS) of the plane-form resident layout."""
+    nbr = _num_bands(grid.ny, br)
+    nxp = _nx_padded(grid.nx)
+    return nbr, nbr * br, nxp, nxp + LANE
+
+
+def to_planes(a: jax.Array, grid: DenseGridConfig, br: int) -> jax.Array:
+    """(ny, nx, P[, 2]) solver array -> resident plane form (P, NYP, NXP) /
+    (2, P, NYP, NXP), zero-padded. Layout boundary only (init/export/tests)."""
+    _, nyp, nxp, _ = pf_dims(grid, br)
+    ny, nx = a.shape[0], a.shape[1]
+    if a.ndim == 3:
+        pl_ = jnp.transpose(a, (2, 0, 1))
+    else:
+        pl_ = jnp.transpose(a, (3, 2, 0, 1))
+    pad = [(0, 0)] * (pl_.ndim - 2) + [(0, nyp - ny), (0, nxp - nx)]
+    return jnp.pad(pl_, pad)
+
+
+def from_planes(p: jax.Array, grid: DenseGridConfig) -> jax.Array:
+    """Inverse of `to_planes`: (P, NYP, NXP) -> (ny, nx, P); (2, P, NYP, NXP)
+    -> (ny, nx, P, 2)."""
+    ny, nx = grid.ny, grid.nx
+    if p.ndim == 3:
+        return jnp.transpose(p[:, :ny, :nx], (1, 2, 0))
+    return jnp.transpose(p[:, :, :ny, :nx], (2, 3, 1, 0))
+
+
+def _pf_concat(vals: Sequence[jax.Array]) -> jax.Array:
+    """Stack plane-form values ((P, NYP, NXP) scalars and (2, P, NYP, NXP)
+    vectors, in order) into one (L, P, NYP, NXP) operand."""
+    comps = []
+    for v in vals:
+        comps.append(v[None] if v.ndim == 3 else v)
+    return comps[0] if len(comps) == 1 else jnp.concatenate(comps, axis=0)
+
+
+def _pf_block_query(planes: jax.Array, br: int) -> jax.Array:
+    """(L, P, NYP, NXP) -> (L, P, nbr, BR, NXP): a pure reshape."""
+    l, p, nyp, nxp = planes.shape
+    assert nyp % br == 0, f"plane rows {nyp} not divisible by row block {br}"
+    return planes.reshape(l, p, nyp // br, br, nxp)
+
+
+def _pf_block_source(planes: jax.Array, br: int) -> jax.Array:
+    """(L, P, NYP, NXP) -> (L, P, nbr, BR+2, NXS): overlapping row windows with
+    a one-cell halo ring (left column halo = 1, right pads to NXS)."""
+    l, p, nyp, nxp = planes.shape
+    assert nyp % br == 0, f"plane rows {nyp} not divisible by row block {br}"
+    nbr = nyp // br
+    nxs = nxp + LANE
+    padded = jnp.pad(planes, ((0, 0), (0, 0), (1, 1), (1, nxs - nxp - 1)))
+    return jnp.stack(
+        [padded[:, :, i * br : i * br + br + 2] for i in range(nbr)], axis=2
+    )
+
+
+def _pf_band_bits(mask: jax.Array, br: int):
+    """(P, NYP, NXP) mask -> (band_any, first_any, last_any)."""
+    nyp = mask.shape[1]
+    row_any = jnp.any(mask, axis=(0, 2))
+    bands = row_any.reshape(nyp // br, br)
+    return jnp.any(bands, axis=1), bands[:, 0], bands[:, -1]
+
+
+def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int) -> PFGeom:
+    """Blocked geometry from plane-form positions (2, P, NYP, NXP) + mask
+    (P, NYP, NXP)."""
+    planes = jnp.concatenate([pos, mask.astype(REAL)[None]], axis=0)
+    band_any, first_any, last_any = _pf_band_bits(mask, br)
+    return PFGeom(
+        q_geom=_pf_block_query(planes, br),
+        s_geom=_pf_block_source(planes, br),
+        band_any=band_any,
+        first_any=first_any,
+        last_any=last_any,
+    )
+
+
+def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, radius_sq, *refs):
+    """PF kernel body — the same (qp, view, sp) accumulation as _sm_kernel with
+    the band axis indexed mid-tensor. refs: flag(SMEM), *scalars(SMEM), q_geom,
+    s_geom, [q_vals], [s_vals], out."""
+    flag_ref = refs[0]
+    flag = flag_ref[pl.program_id(0), 0]
+    scalars = tuple(refs[1 + i][0, 0] for i in range(n_sc))
+    qg = refs[1 + n_sc]
+    sg = refs[2 + n_sc]
+    idx = 3 + n_sc
+    qv = refs[idx] if n_qv else None
+    idx += 1 if n_qv else 0
+    sv = refs[idx] if n_sv else None
+    out_ref = refs[-1]
+
+    @pl.when(flag == 0)
+    def _skip():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(flag != 0)
+    def _run():
+        for qp in range(p):
+            qx = qg[0, qp, 0]
+            qy = qg[1, qp, 0]
+            qm = qg[2, qp, 0] > 0.0
+            q_planes = tuple(qv[l, qp, 0] for l in range(n_qv))
+            accs = [jnp.zeros((br, nx), dtype=REAL) for _ in range(n_out)]
+            for dyv in range(3):
+                for dxv in range(3):
+                    for sp in range(ps):
+                        cx = sg[0, sp, 0, dyv : dyv + br, dxv : dxv + nx]
+                        cy = sg[1, sp, 0, dyv : dyv + br, dxv : dxv + nx]
+                        cm = sg[2, sp, 0, dyv : dyv + br, dxv : dxv + nx]
+                        s_planes = tuple(
+                            sv[l, sp, 0, dyv : dyv + br, dxv : dxv + nx]
+                            for l in range(n_sv)
+                        )
+                        dx = cx - qx
+                        dy = cy - qy
+                        r_sq = dx * dx + dy * dy
+                        valid = (
+                            qm
+                            & (cm > 0.0)
+                            & (r_sq <= radius_sq)
+                            & (r_sq > MIN_DISTANCE_SQ)
+                        )
+                        outs = term_fn(
+                            dx, dy, r_sq, jnp.sqrt(r_sq), scalars, q_planes,
+                            s_planes,
+                        )
+                        for k, o in enumerate(outs):
+                            accs[k] = accs[k] + jnp.where(valid, o, 0.0)
+            for k in range(n_out):
+                out_ref[k, qp, 0] = accs[k]
+
+
+def pf_pair_reduce(
+    term_fn,
+    n_out: int,
+    q: PFGeom,
+    s: PFGeom,
+    flags: jax.Array,
+    grid: DenseGridConfig,
+    br: int,
+    q_vals: Sequence[jax.Array] = (),
+    s_vals: Sequence[jax.Array] = (),
+    scalars: Sequence = (),
+    interpret: bool = None,
+):
+    """sm_pair_reduce in plane form: q_vals / s_vals are resident plane arrays
+    ((P, NYP, NXP) scalars, (2, P, NYP, NXP) vectors), the result is ONE
+    stacked (n_out, P, NYP, NXP) array (a vector output's components are
+    adjacent leading planes). Per-pass accumulation order is identical to
+    sm_pair_reduce — outputs are bit-equal to it given equal inputs."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nbr = q.q_geom.shape[2]
+    p = q.q_geom.shape[1]
+    ps = s.s_geom.shape[1]
+    nxp = q.q_geom.shape[4]
+
+    qv_b = _pf_block_query(_pf_concat(q_vals), br) if q_vals else None
+    sv_b = _pf_block_source(_pf_concat(s_vals), br) if s_vals else None
+    n_qv = qv_b.shape[0] if q_vals else 0
+    n_sv = sv_b.shape[0] if s_vals else 0
+
+    scalars_2d = [jnp.asarray(a, dtype=REAL).reshape(1, 1) for a in scalars]
+
+    def vmem_spec(a):
+        blk = a.shape[:2] + (1,) + a.shape[3:]
+        return pl.BlockSpec(
+            blk, lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    flag_spec = pl.BlockSpec(flags.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    operands = [flags] + scalars_2d + [q.q_geom, s.s_geom]
+    in_specs = (
+        [flag_spec]
+        + [scalar_spec for _ in scalars_2d]
+        + [vmem_spec(q.q_geom), vmem_spec(s.s_geom)]
+    )
+    if q_vals:
+        operands.append(qv_b)
+        in_specs.append(vmem_spec(qv_b))
+    if s_vals:
+        operands.append(sv_b)
+        in_specs.append(vmem_spec(sv_b))
+
+    out_shape = jax.ShapeDtypeStruct((n_out, p, nbr, br, nxp), REAL)
+    out_spec = pl.BlockSpec(
+        (n_out, p, 1, br, nxp), lambda i: (0, 0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(
+        _pf_kernel, term_fn, len(scalars_2d), n_qv, n_sv, n_out, p, ps, br, nxp,
+        grid.radius_sq,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbr,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(*operands)
+    return out.reshape(n_out, p, nbr * br, nxp)
+
+
+def pf_move_codes(pos: jax.Array, mask: jax.Array, grid: DenseGridConfig) -> jax.Array:
+    """dense_grid.move_codes in plane form: (P, NYP, NXP) f32 code plane (0 =
+    dead slot; padding rows/cols are dead by the mask invariant)."""
+    _, nyp, nxp = mask.shape
+    iy = jnp.arange(nyp, dtype=jnp.int32)[None, :, None]
+    ix = jnp.arange(nxp, dtype=jnp.int32)[None, None, :]
+    inv = jnp.asarray(1.0 / grid.cell_size, dtype=REAL)
+    origin = jnp.asarray(grid.origin, dtype=REAL)
+    cx = jnp.clip(
+        jnp.floor((pos[0] - origin[0]) * inv).astype(jnp.int32), 0, grid.nx - 1
+    )
+    cy = jnp.clip(
+        jnp.floor((pos[1] - origin[1]) * inv).astype(jnp.int32), 0, grid.ny - 1
+    )
+    dy = jnp.clip(cy - iy, -1, 1)
+    dx = jnp.clip(cx - ix, -1, 1)
+    return jnp.where(mask, (dy + 1) * 3 + (dx + 1) + 1, 0).astype(REAL)
+
+
+def _pf_rebucket_kernel(n_pay, p, br, nx, *refs):
+    """PF re-bucket body — same candidate scan as _sm_rebucket_kernel, plane-
+    form indexing. refs: flag(SMEM), src (1+n_pay, P, 1, BR+2, NXS) with plane
+    0 = move code, out (n_pay+1, P, 1, BR, NXP), last plane = incoming total
+    (identical per slot; consumers read slot 0)."""
+    flag_ref, src, out_ref = refs
+    flag = flag_ref[pl.program_id(0), 0]
+
+    @pl.when(flag == 0)
+    def _skip():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    @pl.when(flag != 0)
+    def _run():
+        for qp in range(p):
+            cnt = jnp.zeros((br, nx), dtype=REAL)
+            accs = [jnp.zeros((br, nx), dtype=REAL) for _ in range(n_pay)]
+            for dyv in range(3):
+                for dxv in range(3):
+                    expected = float((2 - dyv) * 3 + (2 - dxv) + 1)
+                    for sp in range(p):
+                        c = src[0, sp, 0, dyv : dyv + br, dxv : dxv + nx]
+                        sel = c == expected
+                        hit = sel & (cnt == float(qp))
+                        for k in range(n_pay):
+                            accs[k] = accs[k] + jnp.where(
+                                hit,
+                                src[1 + k, sp, 0, dyv : dyv + br, dxv : dxv + nx],
+                                0.0,
+                            )
+                        cnt = cnt + jnp.where(sel, 1.0, 0.0)
+            for k in range(n_pay):
+                out_ref[k, qp, 0] = accs[k]
+            out_ref[n_pay, qp, 0] = cnt
+
+
+def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
+                interpret: bool = None):
+    """sm_rebucket in plane form. pos (2, P, NYP, NXP), mask (P, NYP, NXP),
+    values (D, P, NYP, NXP). Returns (new_pos, new_mask, new_values,
+    num_dropped) in the same plane layout — no transposes anywhere."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert grid.halo_axis is None, (
+        "pf_rebucket has no halo exchange; sharded solvers use dense_grid.rebucket"
+    )
+    p, nyp, nxp = mask.shape
+    d = values.shape[0]
+    n_pay = 2 + d
+
+    code = pf_move_codes(pos, mask, grid)
+    src = _pf_block_source(
+        jnp.concatenate([code[None], pos, values], axis=0), br
+    )  # (1+n_pay, P, nbr, BR+2, NXS)
+    nbr = src.shape[2]
+
+    band_any, first_any, last_any = _pf_band_bits(mask, br)
+    false = jnp.zeros((1,), dtype=bool)
+    below = jnp.concatenate([false, last_any[:-1]])
+    above = jnp.concatenate([first_any[1:], false])
+    flags = (band_any | below | above).astype(jnp.int32)[:, None]
+
+    flag_spec = pl.BlockSpec(flags.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    src_spec = pl.BlockSpec(
+        src.shape[:2] + (1,) + src.shape[3:], lambda i: (0, 0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_pay + 1, p, nbr, br, nxp), REAL)
+    out_spec = pl.BlockSpec(
+        (n_pay + 1, p, 1, br, nxp), lambda i: (0, 0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(_pf_rebucket_kernel, n_pay, p, br, nxp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbr,),
+        in_specs=[flag_spec, src_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(flags, src)
+
+    out = out.reshape(n_pay + 1, p, nbr * br, nxp)
+    new_pos = out[0:2]
+    new_values = out[2 : 2 + d]
+    total = out[n_pay, 0].astype(jnp.int32)  # same for every slot
+    lane = jnp.arange(p, dtype=jnp.int32)[:, None, None]
+    new_mask = lane < total[None]
+    num_dropped = jnp.sum(jnp.maximum(total - p, 0))
+    return new_pos, new_mask, new_values, num_dropped.astype(jnp.int32)
+
+
 def _sm_rebucket_kernel(n_pay, p, br, nx, *refs):
     """Slot-major re-bucket body. refs: flag(SMEM), src (1, 1+n_pay, P, BR+2,
     NXS) with plane 0 = move code, out (1, n_pay+1, P, BR, NXP) with the last
