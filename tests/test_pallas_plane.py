@@ -143,3 +143,51 @@ def test_pf_dims_and_roundtrip():
     p = to_planes(pos, grid, BR)
     assert p.shape == (2, grid.occupancy, nyp, nxp)
     np.testing.assert_array_equal(np.asarray(from_planes(p, grid)), np.asarray(pos))
+
+
+def test_wcsph_plane_carry_roundtrip():
+    """WCSPHPlaneSolver's init_carry -> export_state layout plumbing (no kernel
+    calls) reproduces the padded solver's export exactly; the plane solver's
+    jitted STEP is TPU-gated in tests/test_wcsph_plane.py."""
+    import dataclasses
+
+    from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+    from yasph2d_tpu.models.wcsph_dense import WCSPHPaddedSolver
+    from yasph2d_tpu.models.wcsph_plane import WCSPHPlaneSolver
+    from yasph2d_tpu.timemanager import FixedTimeStep
+    from yasph2d_tpu.world import FluidParticleWorld
+
+    world = FluidParticleWorld(2.0, 400.0, 100.0)
+    world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
+    world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 2)
+    grid = dataclasses.replace(
+        world.dense_grid(occupancy=12), use_pallas_slotmajor=True
+    )
+    common = dict(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties, grid=grid,
+        step_config=FixedTimeStep(1.0 / 3000.0),
+    )
+    padded = WCSPHPaddedSolver(**common)
+    plane = WCSPHPlaneSolver(**common)
+    bdense = world.boundary_dense(grid)
+    bpl = plane.boundary_planes(bdense)
+    assert bpl.geom.q_geom.shape[1] == bdense.pos_pad.shape[2]
+
+    pc = padded.init_carry(world.initial_state())
+    fc = plane.init_carry(world.initial_state())
+    ps = padded.export_state(pc)
+    fs = plane.export_state(fc)
+    np.testing.assert_array_equal(np.asarray(ps.alive), np.asarray(fs.alive))
+    alive = np.asarray(ps.alive)
+    np.testing.assert_array_equal(
+        np.asarray(ps.positions)[alive], np.asarray(fs.positions)[alive]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ps.velocities)[alive], np.asarray(fs.velocities)[alive]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ps.densities)[alive], np.asarray(fs.densities)[alive]
+    )

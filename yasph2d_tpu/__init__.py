@@ -35,6 +35,7 @@ def __getattr__(name):
         "DFSPHDenseSolver": ("yasph2d_tpu.models.dfsph_dense", "DFSPHDenseSolver"),
         "DFSPHPaddedSolver": ("yasph2d_tpu.models.dfsph_dense", "DFSPHPaddedSolver"),
         "DFSPHPlaneSolver": ("yasph2d_tpu.models.dfsph_plane", "DFSPHPlaneSolver"),
+        "WCSPHPlaneSolver": ("yasph2d_tpu.models.wcsph_plane", "WCSPHPlaneSolver"),
         "ShardedDFSPHPadded": (
             "yasph2d_tpu.parallel.shard_dense", "ShardedDFSPHPadded"
         ),

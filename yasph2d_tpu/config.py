@@ -127,7 +127,8 @@ class SolverConfig:
 
     kind: str = "dfsph_padded"
     # wcsph | wcsph_dense | wcsph_padded | dfsph | dfsph_dense | dfsph_padded
-    # | dfsph_plane (plane-resident slot-major Pallas carry, single device)
+    # | dfsph_plane | wcsph_plane (plane-resident slot-major Pallas carries,
+    #   single device)
     max_avg_density_error: float = 0.01 / 100.0
     max_density_iterations: int = 200
     max_divergence_error: float = 0.1 / 100.0
@@ -257,17 +258,21 @@ class SimulationConfig:
             raise ValueError(f"unknown timestep kind {self.timestep.kind!r}")
 
         sc = self.solver
-        if sc.kind in ("wcsph_dense", "wcsph_padded"):
+        if sc.kind in ("wcsph_dense", "wcsph_padded", "wcsph_plane"):
             from .models.wcsph_dense import WCSPHDenseSolver, WCSPHPaddedSolver
 
             grid = world.dense_grid(
                 occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
             )
-            if sc.use_pallas_slotmajor:
+            if sc.use_pallas_slotmajor or sc.kind == "wcsph_plane":
                 grid = dataclasses.replace(grid, use_pallas_slotmajor=True)
-            wcls = (
-                WCSPHPaddedSolver if sc.kind == "wcsph_padded" else WCSPHDenseSolver
-            )
+            if sc.kind == "wcsph_plane":
+                from .models.wcsph_plane import WCSPHPlaneSolver as wcls
+            else:
+                wcls = (
+                    WCSPHPaddedSolver if sc.kind == "wcsph_padded"
+                    else WCSPHDenseSolver
+                )
             solver = wcls(
                 viscosity_model=viscosity,
                 properties=world.properties,
@@ -279,6 +284,10 @@ class SimulationConfig:
                 gravity=self.gravity,
             )
             boundary = world.boundary_dense(grid, sc.dense_boundary_occupancy)
+            if sc.kind == "wcsph_plane":
+                # the plane solver steps against the boundary's prebuilt
+                # plane-form geometry (built once per boundary change)
+                boundary = solver.boundary_planes(boundary)
             carry = solver.init_carry(world.initial_state())
         elif sc.kind == "wcsph":
             from .models.wcsph import WCSPHSolver
