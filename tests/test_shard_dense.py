@@ -147,3 +147,49 @@ def test_compiled_step_has_halo_exchange_and_no_allgather(mesh):
     hlo = compiled.as_text()
     assert "collective-permute" in hlo, "halo exchange must be a collective-permute"
     assert "all-gather" not in hlo, "no full-array all-gather may remain"
+
+
+def test_halo2d_multi_matches_per_array_halo(mesh):
+    """halo2d_multi (one packed ppermute pair for all operands) is exactly
+    equivalent to per-array halo2d across dtypes (f32 vector, bool mask,
+    bf16 values, int32 move codes)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from yasph2d_tpu.ops.dense_grid import halo2d, halo2d_multi
+
+    world = small_dam_break(particle_density=1600.0)
+    full_grid = world.dense_grid(occupancy=4, ny_multiple=8)
+    g = make_local_grid(full_grid, 8)
+    ny, nx, p = full_grid.ny, g.nx, g.occupancy
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(ny, nx, p, 2)), jnp.float32)
+    mask = jnp.asarray(rng.random((ny, nx, p)) < 0.5)
+    vals = jnp.asarray(rng.normal(size=(ny, nx, p)), jnp.bfloat16)
+    code = jnp.asarray(rng.integers(0, 10, size=(ny, nx, p)), jnp.int32)
+
+    spec = P("space")
+
+    @partial(
+        jax.jit,
+        static_argnames=("packed",),
+    )
+    def run(pos, mask, vals, code, packed):
+        def body(pos, mask, vals, code):
+            arrays = [pos, mask, vals, code]
+            if packed:
+                return tuple(halo2d_multi(arrays, g))
+            return tuple(halo2d(a, g) for a in arrays)
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(spec,) * 4, out_specs=(spec,) * 4
+        )(pos, mask, vals, code)
+
+    ref = run(pos, mask, vals, code, packed=False)
+    got = run(pos, mask, vals, code, packed=True)
+    for r, o in zip(ref, got):
+        assert r.dtype == o.dtype and r.shape == o.shape
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))

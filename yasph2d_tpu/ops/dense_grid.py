@@ -357,6 +357,59 @@ def halo2d(a: jax.Array, grid: DenseGridConfig) -> jax.Array:
     return jnp.concatenate([zc, a, zc], axis=1)
 
 
+def halo2d_multi(arrays, grid: DenseGridConfig) -> list:
+    """`halo2d` over several same-grid arrays sharing ONE ppermute pair.
+
+    Under spatial sharding every collective launch carries fixed latency —
+    measured as +94% whole-step wrapper overhead at n_shards=1/100k (PERF.md
+    round 3) where the permutes are empty — and per-operand halo exchange
+    costs 2 ppermutes per array per pass. Here the boundary cell rows of ALL
+    operands are packed along one trailing axis, exchanged with a single
+    ppermute pair, and unpacked. Single-device grids (halo_axis None) keep
+    the plain per-array zero-padding path: no packing cost where there is no
+    collective to save.
+
+    Exactness: operands are packed in float32 (or bfloat16 iff every operand
+    is bfloat16); bool and bfloat16 round-trip exactly through float32, as do
+    integers up to 2^24 — the operand sets in play are positions/masks/values
+    (pair passes) and 0..9 move codes (re-bucket).
+    """
+    arrays = list(arrays)
+    if grid.halo_axis is None or len(arrays) <= 1:
+        return [halo2d(a, grid) for a in arrays]
+    axis_name, n_shards = grid.halo_axis
+    pack = (
+        jnp.bfloat16
+        if all(a.dtype == jnp.bfloat16 for a in arrays)
+        else REAL
+    )
+    nx = arrays[0].shape[1]
+
+    def row(a, sl):
+        return a[sl].astype(pack).reshape(1, nx, -1)
+
+    bottom = jnp.concatenate([row(a, slice(-1, None)) for a in arrays], axis=-1)
+    top = jnp.concatenate([row(a, slice(0, 1)) for a in arrays], axis=-1)
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    # shard i+1's "row below 0" is shard i's last row; edge shards get zeros
+    below = jax.lax.ppermute(bottom, axis_name, fwd)
+    above = jax.lax.ppermute(top, axis_name, bwd)
+    out, o = [], 0
+    for a in arrays:
+        k = 1
+        for s in a.shape[2:]:
+            k *= s
+        shp = (1,) + a.shape[1:]
+        b = below[..., o : o + k].reshape(shp).astype(a.dtype)
+        t = above[..., o : o + k].reshape(shp).astype(a.dtype)
+        o += k
+        h = jnp.concatenate([b, a, t], axis=0)
+        zc = jnp.zeros_like(h[:, :1])
+        out.append(jnp.concatenate([zc, h, zc], axis=1))
+    return out
+
+
 def _pair_reduce_block(fn, q_pos, q_mask, query_vals, s_pos_halo, s_mask_halo,
                        cand_vals_halo, grid: DenseGridConfig, scalar_args=(),
                        relative: bool = False):
@@ -593,8 +646,7 @@ def rebucket(positions_pad: jax.Array, mask: jax.Array, values_pad: jax.Array,
     # candidate payload: [positions | values]
     payload = jnp.concatenate([positions_pad, values_pad], axis=-1)
 
-    code_h = halo2d(code, grid)
-    payload_h = halo2d(payload, grid)
+    code_h, payload_h = halo2d_multi([code, payload], grid)
 
     # windows convention (neighbor_windows): view v = dy*3+dx slices
     # full[dy:dy+ny, dx:dx+nx], i.e. the candidate's source cell is
@@ -777,14 +829,13 @@ def pair_reduce(
             jnp.asarray(a, dtype=REAL).astype(dtype) for a in scalar_args
         )
 
-    def _halo2d(a):
-        return halo2d(a, grid)
-
     if ny <= rb and nx <= cb:
+        s_pos_h, s_mask_h, *s_vals_h = halo2d_multi(
+            [source_padded_pos, source_mask, *source_values], grid
+        )
         return _pair_reduce_block(
             fn, query_padded_pos, query_mask, list(query_values),
-            _halo2d(source_padded_pos), _halo2d(source_mask),
-            [_halo2d(v) for v in source_values], grid, scalar_args,
+            s_pos_h, s_mask_h, s_vals_h, grid, scalar_args,
             relative=relative,
         )
 
@@ -814,9 +865,11 @@ def pair_reduce(
     q_pos = pad2d(query_padded_pos)
     q_mask = pad2d(query_mask)
     q_vals = [pad2d(v) for v in query_values]
-    s_pos = _halo2d(pad2d(source_padded_pos))
-    s_mask = _halo2d(pad2d(source_mask))
-    s_vals = [_halo2d(pad2d(v)) for v in source_values]
+    s_pos, s_mask, *s_vals = halo2d_multi(
+        [pad2d(source_padded_pos), pad2d(source_mask)]
+        + [pad2d(v) for v in source_values],
+        grid,
+    )
 
     def slice2d(a, r0, c0, h, w):
         starts = (r0, c0) + (0,) * (a.ndim - 2)

@@ -213,10 +213,23 @@ class DFSPHShardMapSolver(_SpatialCollectives, DFSPHDenseSolver):
             unsent = jnp.sum(flags, dtype=jnp.int32) - jnp.sum(
                 valid, dtype=jnp.int32
             )
-            buf = [a[idx] for a in data]
+            # one ppermute per direction: every float leaf plus the valid flags
+            # travel in a single (m, K+1) f32 buffer (collective launches have
+            # fixed latency — see ops/dense_grid.halo2d_multi)
+            cols = [a[idx].reshape(m, -1).astype(REAL) for a in data]
+            packed = jnp.concatenate(cols + [valid[:, None].astype(REAL)], axis=-1)
             # ppermute fills unaddressed edge shards with zeros -> valid False
-            buf_r = [jax.lax.ppermute(a, axis, perm) for a in buf]
-            valid_r = jax.lax.ppermute(valid.astype(jnp.int32), axis, perm) > 0
+            packed_r = jax.lax.ppermute(packed, axis, perm)
+            buf_r, o = [], 0
+            for a in data:
+                k = 1
+                for s in a.shape[1:]:
+                    k *= s
+                buf_r.append(
+                    packed_r[:, o : o + k].reshape((m,) + a.shape[1:]).astype(a.dtype)
+                )
+                o += k
+            valid_r = packed_r[:, -1] > 0.5
             sent = jnp.zeros_like(flags).at[idx].set(valid)
             return buf_r, valid_r, sent, unsent
 
