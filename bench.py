@@ -21,8 +21,9 @@ Env knobs:
   YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default size-based, PERF.md)
   YASPH_BENCH_PAIR_DTYPE float32 | bfloat16 (default per PERF.md measurements)
   YASPH_BENCH_PALLAS     1 = run pair passes through the (retired) gen-1 Pallas kernel
-  YASPH_BENCH_SLOTMAJOR  1 = run fluid-fluid pair passes through the slot-major
-                         Pallas kernel (ops/pallas_slotmajor.py)
+  YASPH_BENCH_SLOTMAJOR  run fluid-fluid pair passes through the slot-major
+                         Pallas kernel (ops/pallas_slotmajor.py); DEFAULT ON
+                         (measured best, PERF.md round 3), 0 = XLA pair passes
   YASPH_BENCH_SM_ROW_BLOCK  slot-major band height (default 8)
   YASPH_BENCH_REBUILD_EVERY  k-step neighbor rebuild (default 1 = conformance;
                              k>1 is the opt-in Verlet-style mode, see PERF.md)
@@ -47,6 +48,7 @@ def _log(msg):
 
 
 from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+from yasph2d_tpu.ops.dense_grid import SMALL_GRID_SLOTS
 from yasph2d_tpu.timemanager import AdaptiveTimeStep
 from yasph2d_tpu.world import FluidParticleWorld
 
@@ -104,8 +106,17 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             col_block=int(cb) if cb else None,
             row_block=int(os.environ.get("YASPH_BENCH_ROW_BLOCK", rb_default)),
             use_pallas=os.environ.get("YASPH_BENCH_PALLAS") == "1",
+            # slot-major Pallas pair passes: measured best at banded sizes
+            # (PERF.md round 3: 16.0 ms at 100k / 112.7 ms at 1M vs 19.6/129.1
+            # XLA, exact f32, zero drops) — default ON there; small grids
+            # (<SMALL_GRID_SLOTS) keep the measured-faster unbanded XLA path.
+            # YASPH_BENCH_SLOTMAJOR=0/1 overrides either way.
             use_pallas_slotmajor=(
-                os.environ.get("YASPH_BENCH_SLOTMAJOR") == "1"
+                os.environ.get(
+                    "YASPH_BENCH_SLOTMAJOR",
+                    "1" if grid.num_cells * grid.occupancy >= SMALL_GRID_SLOTS
+                    else "0",
+                ) == "1"
                 or backend == "plane"
             ),
             pallas_sm_row_block=int(os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)),
