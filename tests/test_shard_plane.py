@@ -1,0 +1,275 @@
+"""Sharded plane-resident (slot-major Pallas) path on the 8-device virtual CPU
+mesh (parallel/shard_plane.py).
+
+The pf_* kernels are per-band pure functions; under sharding only their
+OPERAND BUILDS change (halo rows from neighbor shards instead of zero pad), so
+per-band outputs must be BITWISE equal to the single-device run on the same
+global planes. These tests pin that, plus structural cross-shard migration
+through pf_rebucket's halo rows. Kernels run in Pallas interpret mode on CPU;
+grids are tiny so the eager shard_map calls stay fast.
+"""
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+from yasph2d_tpu.ops.dense_grid import DenseGridConfig
+from yasph2d_tpu.ops.pallas_slotmajor import (
+    pf_build_geom,
+    pf_pair_reduce,
+    pf_rebucket,
+    pass_flags,
+)
+from yasph2d_tpu.units import REAL
+
+
+N_SHARDS = 8
+AXIS = "space"
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < N_SHARDS:
+        pytest.skip("needs 8 devices")
+    return jax.sharding.Mesh(np.asarray(jax.devices()[:N_SHARDS]), (AXIS,))
+
+
+def _grids(ny=16, nx=8, p=3, br=2):
+    """(global single-device grid, local sharded grid). nx=8 keeps NXP=128
+    columns; ny/br chosen so NYP == ny both globally and per shard."""
+    full = DenseGridConfig(
+        cell_size=1.0, origin=(0.0, 0.0), nx=nx, ny=ny, occupancy=p,
+        use_pallas_slotmajor=True, pallas_sm_row_block=br,
+    )
+    local = dataclasses.replace(
+        full, ny=ny // N_SHARDS, halo_axis=(AXIS, N_SHARDS)
+    )
+    return full, local
+
+
+def _random_planes(rng, ny, nx, p, fill=0.5):
+    """Plane-form positions/mask on a [0,nx)x[0,ny) unit-cell grid: each live
+    slot holds a particle INSIDE its own cell (the resident-layout invariant)."""
+    from yasph2d_tpu.ops.pallas_slotmajor import _nx_padded
+
+    nxp = _nx_padded(nx)
+    mask = np.zeros((p, ny, nxp), dtype=bool)
+    mask[:, :, :nx] = rng.random((p, ny, nx)) < fill
+    off = rng.random((2, p, ny, nxp)).astype(np.float32)
+    cx = np.arange(nxp, dtype=np.float32)[None, None, :]
+    cy = np.arange(ny, dtype=np.float32)[None, :, None]
+    pos = np.stack([cx + 0.99 * off[0], cy + 0.99 * off[1]], axis=0)
+    pos = np.where(mask[None], pos, 0.0).astype(np.float32)
+    return jnp.asarray(pos), jnp.asarray(mask)
+
+
+def _ctx_terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+    w = jnp.maximum(1.0 - r_sq, 0.0)
+    return (w, w * dx, w * dy)
+
+
+def test_sharded_pf_pair_reduce_bitwise(mesh):
+    """ctx-style pass: 8-shard halo-exchanged run == single-device run,
+    bitwise (same per-band windows, same accumulation order)."""
+    full, local = _grids()
+    br = full.pallas_sm_row_block
+    rng = np.random.default_rng(0)
+    pos, mask = _random_planes(rng, full.ny, full.nx, full.occupancy)
+    vals = jnp.asarray(
+        rng.normal(size=(full.occupancy, full.ny, pos.shape[3])), REAL
+    ) * mask
+
+    geom = pf_build_geom(pos, mask, br, grid=full)
+    ref = pf_pair_reduce(
+        _ctx_terms, 3, geom, geom, pass_flags(geom, geom, full), full, br,
+        q_vals=(vals,), s_vals=(vals,), interpret=True,
+    )
+
+    def body(pos, mask, vals):
+        g = pf_build_geom(pos, mask, br, grid=local)
+        return pf_pair_reduce(
+            _ctx_terms, 3, g, g, pass_flags(g, g, local), local, br,
+            q_vals=(vals,), s_vals=(vals,), interpret=True,
+        )
+
+    got = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, AXIS), P(None, AXIS), P(None, AXIS)),
+        out_specs=P(None, None, AXIS),
+        check_vma=False,
+    )(pos, mask, vals)
+
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_sharded_pf_rebucket_migrates_bitwise(mesh):
+    """Re-bucket with seam-crossing movers: the sharded run (halo rows carry
+    migrants) equals the single-device run bitwise — positions, payload, mask,
+    zero drops."""
+    full, local = _grids()
+    br = full.pallas_sm_row_block
+    rng = np.random.default_rng(1)
+    # sparse fill so no cell overflows after moves
+    pos, mask = _random_planes(rng, full.ny, full.nx, full.occupancy, fill=0.15)
+    # push ~half the live particles one cell up/down in y: some cross seams
+    shift = rng.integers(-1, 2, size=mask.shape).astype(np.float32)
+    pos = pos.at[1].add(jnp.asarray(shift) * mask)
+    pos = jnp.clip(pos, 0.0, None)
+    pos = pos.at[1].min(float(full.ny) - 1e-3)
+    pos = jnp.where(mask[None], pos, 0.0)
+    vals = jnp.asarray(
+        rng.normal(size=(2, full.occupancy, full.ny, pos.shape[3])), REAL
+    ) * mask
+
+    r_pos, r_mask, r_vals, r_drop = pf_rebucket(
+        pos, mask, vals, full, br, interpret=True
+    )
+    assert int(r_drop) == 0
+    assert int(jnp.sum(r_mask)) == int(jnp.sum(mask))
+
+    def body(pos, mask, vals):
+        row0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * local.ny
+        return pf_rebucket(pos, mask, vals, local, br, interpret=True,
+                           row0=row0)
+
+    s_pos, s_mask, s_vals, s_drop = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, AXIS), P(None, AXIS), P(None, None, AXIS)),
+        out_specs=(
+            P(None, None, AXIS), P(None, AXIS), P(None, None, AXIS), P(),
+        ),
+        check_vma=False,
+    )(pos, mask, vals)
+
+    np.testing.assert_array_equal(np.asarray(r_mask), np.asarray(s_mask))
+    np.testing.assert_array_equal(np.asarray(r_pos), np.asarray(s_pos))
+    np.testing.assert_array_equal(np.asarray(r_vals), np.asarray(s_vals))
+
+
+def test_sharded_pass_flags_see_seam_rows(mesh):
+    """A band whose only SOURCES live across the shard seam must not be
+    skipped: queries occupy global row 7 (shard 3's last row), sources occupy
+    global row 8 (shard 4's first row) — shard 3's flag can only come from
+    the seam-row occupancy exchange in pass_flags."""
+    full, local = _grids()
+    br = full.pallas_sm_row_block
+    from yasph2d_tpu.ops.pallas_slotmajor import _nx_padded
+
+    nxp = _nx_padded(full.nx)
+
+    def one_row(row):
+        mask = np.zeros((full.occupancy, full.ny, nxp), dtype=bool)
+        mask[0, row, : full.nx] = True
+        pos = np.zeros((2, full.occupancy, full.ny, nxp), np.float32)
+        pos[0, 0] = np.arange(nxp, dtype=np.float32)[None, :] + 0.5
+        pos[1, 0] = np.arange(full.ny, dtype=np.float32)[:, None] + 0.5
+        pos = np.where(mask[None], pos, 0.0)
+        return jnp.asarray(pos), jnp.asarray(mask)
+
+    q_pos, q_mask = one_row(7)  # shard 3 (rows 6-7)
+    s_pos, s_mask = one_row(8)  # shard 4 (rows 8-9)
+
+    def body(q_pos, q_mask, s_pos, s_mask):
+        q = pf_build_geom(q_pos, q_mask, br, grid=local)
+        s = pf_build_geom(s_pos, s_mask, br, grid=local)
+        return pass_flags(q, s, local)
+
+    flags = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, AXIS), P(None, AXIS)) * 2,
+        out_specs=P(AXIS),
+        check_vma=False,
+    )(q_pos, q_mask, s_pos, s_mask)
+    flags = np.asarray(flags).reshape(N_SHARDS, -1)
+    # only shard 3's band fires, and ONLY via the exchanged seam bit (its own
+    # source rows are empty); shard 4 has sources but no queries
+    assert flags[3, 0] == 1
+    assert flags.sum() == 1
+
+
+@pytest.mark.slow
+def test_sharded_plane_driver_init_matches_single_device(mesh):
+    """Driver glue: ShardedDFSPHPlane.init (eager shard_map, interpret kernels)
+    reproduces the single-device DFSPHPlaneSolver.init_carry bitwise on the
+    same scene — leaf sharding specs, the boundary-plane build inside
+    shard_map, and the init-time ctx pass with halo-exchanged source windows
+    all have to line up for the gathered carry to equal the global one.
+
+    Scope note: full sharded STEPPING cannot run anywhere in this deployment
+    (interpret-mode kernels at solver occupancy trace >1 h on the single CPU
+    core; the TPU tunnel has one chip). The pf primitives the step is made of
+    are pinned bitwise under sharding by the fast tests above, and the
+    step-level collective hooks (_mean_live_pf psum, _max_vel_from_sq pmax,
+    _sum_counts) are the same few-line _SpatialCollectives machinery already
+    exercised end-to-end by test_shard_padded.py. Low smoothing factor keeps
+    the fluid occupancy (and so the interpret-mode trace) small."""
+    from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver
+    from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+    from yasph2d_tpu.parallel.shard_plane import ShardedDFSPHPlane
+    from yasph2d_tpu.timemanager import FixedTimeStep
+    from yasph2d_tpu.world import FluidParticleWorld
+
+    world = FluidParticleWorld(1.0, 400.0, 100.0)
+    world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
+    world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 2)
+    full_grid = dataclasses.replace(
+        world.dense_grid(ny_multiple=N_SHARDS),
+        use_pallas_slotmajor=True,
+        pallas_sm_row_block=4,
+    )
+    h = world.properties.smoothing_length
+    visc = XSPHViscosityModel(smoothing_length=h)
+    cfg = FixedTimeStep(1.0 / 3000.0)
+    sharded = ShardedDFSPHPlane(
+        viscosity_model=visc, properties=world.properties,
+        full_grid=full_grid, step_config=cfg, mesh=mesh,
+    )
+    boundary = world.boundary_dense(full_grid)
+    state = world.initial_state()
+
+    carry, bpl = sharded.init(state, boundary, use_jit=False)
+
+    single = DFSPHPlaneSolver(
+        viscosity_model=visc, properties=world.properties,
+        grid=dataclasses.replace(
+            full_grid,
+            pallas_sm_row_block=sharded.solver.grid.pallas_sm_row_block,
+        ),
+        step_config=cfg,
+    )
+    s_carry = single.init_carry(state, single.boundary_planes(boundary))
+
+    got = jax.device_get(carry)
+    ref = jax.device_get(s_carry)
+    leaves_g = jax.tree_util.tree_flatten_with_path(got)[0]
+    leaves_r = jax.tree_util.tree_leaves(ref)
+    mask = np.asarray(ref.ctx.mask)
+    for (path, g), r in zip(leaves_g, leaves_r):
+        name = jax.tree_util.keystr(path)
+        g = np.asarray(g)
+        r = np.asarray(r)
+        assert g.shape == r.shape, name
+        if name.endswith(".ctx.pos"):
+            # dead-slot position filler is a don't-care that legitimately
+            # differs between global and per-shard padding; every consumer
+            # masks it (the live outputs below are asserted bitwise)
+            g = np.where(mask[None], g, 0.0)
+            r = np.where(mask[None], r, 0.0)
+        elif name.endswith("geom.q_geom") or name.endswith("geom.s_geom"):
+            # blocked [x, y, mask] planes: mask plane exact, pos planes
+            # compared where the block's own mask plane is live
+            np.testing.assert_array_equal(g[2], r[2], err_msg=name)
+            live = r[2] > 0.0
+            g = np.where(live[None], g[:2], 0.0)
+            r = np.where(live[None], r[:2], 0.0)
+        np.testing.assert_array_equal(g, r, err_msg=name)

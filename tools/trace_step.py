@@ -4,7 +4,8 @@ Parses the xplane proto produced by jax.profiler directly (pure-python protobuf
 to dodge the descriptor-version conflict in tensorboard_plugin_profile).
 
 Usage: python tools/trace_step.py [n_particles] [backend]
-backend: padded (default) | dense (sorted-carry)
+backend: padded (default) | dense (sorted-carry) | plane (plane-resident
+slot-major Pallas carry; implies use_pallas_slotmajor)
 """
 
 import os
@@ -41,12 +42,17 @@ def main():
     world = double_dam_break(target)
     grid = dataclasses.replace(
         world.dense_grid(occupancy=7), row_block=8,
-        use_pallas_slotmajor=os.environ.get("YASPH_BENCH_SLOTMAJOR") == "1",
+        use_pallas_slotmajor=(
+            os.environ.get("YASPH_BENCH_SLOTMAJOR") == "1" or backend == "plane"
+        ),
         pallas_sm_row_block=int(os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)),
     )
     from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
 
-    cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver
+    if backend == "plane":
+        from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver as cls
+    else:
+        cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver
     solver = cls(
         viscosity_model=XSPHViscosityModel(
             smoothing_length=world.properties.smoothing_length
@@ -57,6 +63,8 @@ def main():
         ),
     )
     boundary = world.boundary_dense(grid)
+    if backend == "plane":
+        boundary = solver.boundary_planes(boundary)
     carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
     simulate = jax.jit(solver.simulate, static_argnums=2)
     settle = int(os.environ.get("YASPH_TRACE_SETTLE", 50))

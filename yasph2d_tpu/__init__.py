@@ -42,6 +42,12 @@ def __getattr__(name):
         "ShardedWCSPHPadded": (
             "yasph2d_tpu.parallel.shard_dense", "ShardedWCSPHPadded"
         ),
+        "ShardedDFSPHPlane": (
+            "yasph2d_tpu.parallel.shard_plane", "ShardedDFSPHPlane"
+        ),
+        "ShardedWCSPHPlane": (
+            "yasph2d_tpu.parallel.shard_plane", "ShardedWCSPHPlane"
+        ),
         "SimulationApp": ("yasph2d_tpu.app", "SimulationApp"),
     }
     if name in lazy:

@@ -175,6 +175,11 @@ class DFSPHDenseSolver:
     max_divergence_iterations: int = 400
     gravity: tuple = GRAVITY
 
+    # pf_* (plane-form) slot-major kernels support halo collectives; the
+    # vector-last sm_* kernels this class uses do not. The plane shard solvers
+    # (parallel/shard_plane.py) flip this to lift the halo assert.
+    _pf_sharded_ok = False
+
     def __post_init__(self):
         object.__setattr__(
             self, "kernel", WendlandQuinticC2(self.properties.smoothing_length)
@@ -197,9 +202,10 @@ class DFSPHDenseSolver:
                 and not self.mxu_loop_gradients, (
                     "use_pallas_slotmajor excludes the other pair-pass variants"
                 )
-            assert self.grid.halo_axis is None, (
-                "the slot-major Pallas path has no halo collectives "
-                "(single-device only; shard_map solvers keep the XLA path)"
+            assert self.grid.halo_axis is None or self._pf_sharded_ok, (
+                "the vector-last slot-major (sm_*) path has no halo "
+                "collectives; sharded slot-major runs through the plane-form "
+                "solvers (parallel/shard_plane.py)"
             )
             assert self.grid.pair_dtype == "float32", (
                 "the slot-major kernel computes in float32 planes"

@@ -74,6 +74,7 @@ class PlaneCtx(NamedTuple):
     """Per-rebuild pair context in plane form (the PlaneCtx twin of DenseCtx)."""
 
     geom: PFGeom  # blocked fluid geometry, shared by every pass this rebuild
+    flags_dyn: jax.Array  # (nbr, 1) int32 fluid-fluid band skip flags
     pos: jax.Array  # (2, P, NYP, NXP)
     mask: jax.Array  # (P, NYP, NXP) bool
     sum_grad_stat: jax.Array  # (2, P, NYP, NXP): sum grad W to boundary
@@ -117,7 +118,9 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
         g = self.grid
         pos = to_planes(boundary.pos_pad, g, self._br)
         mask = to_planes(boundary.mask, g, self._br).astype(bool)
-        return BoundaryPlanes(dense=boundary, geom=pf_build_geom(pos, mask, self._br))
+        return BoundaryPlanes(
+            dense=boundary, geom=pf_build_geom(pos, mask, self._br, grid=g)
+        )
 
     # ------------------------------------------------------------ pair context
 
@@ -135,13 +138,14 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
             return (w, gx, gy, gx * gx + gy * gy, jnp.ones_like(r_sq))
 
         with jax.named_scope("FluidParticleWorld.update_densities+alpha"):
-            geom = pf_build_geom(pos, mask, self._br)
+            geom = pf_build_geom(pos, mask, self._br, grid=g)
+            flags_dyn = pass_flags(geom, geom, g)
             dyn = pf_pair_reduce(
-                ctx_terms, 5, geom, geom, pass_flags(geom, geom), g, self._br
+                ctx_terms, 5, geom, geom, flags_dyn, g, self._br
             )
             stat = pf_pair_reduce(
                 ctx_terms, 5, geom, boundary.geom,
-                pass_flags(geom, boundary.geom), g, self._br,
+                pass_flags(geom, boundary.geom, g), g, self._br,
             )
 
         zero = jnp.zeros((), dtype=REAL)
@@ -154,6 +158,7 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
 
         return PlaneCtx(
             geom=geom,
+            flags_dyn=flags_dyn,
             pos=pos,
             mask=mask,
             sum_grad_stat=stat[1:3] / m,
@@ -176,7 +181,7 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
             )
 
         dyn = pf_pair_reduce(
-            div_terms, 1, ctx.geom, ctx.geom, pass_flags(ctx.geom, ctx.geom),
+            div_terms, 1, ctx.geom, ctx.geom, ctx.flags_dyn,
             self.grid, self._br, q_vals=(v,), s_vals=(v,),
         )[0]
         return dyn + jnp.sum(v * ctx.sum_grad_stat, axis=0)
@@ -192,7 +197,7 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
             return (kk * dx, kk * dy)
 
         dyn = pf_pair_reduce(
-            corr_terms, 2, ctx.geom, ctx.geom, pass_flags(ctx.geom, ctx.geom),
+            corr_terms, 2, ctx.geom, ctx.geom, ctx.flags_dyn,
             self.grid, self._br, q_vals=(k,), s_vals=(k,),
         )
         return dyn + k[None] * ctx.sum_grad_stat
@@ -211,7 +216,7 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
             )
 
         return pf_pair_reduce(
-            visc_terms, 2, ctx.geom, ctx.geom, pass_flags(ctx.geom, ctx.geom),
+            visc_terms, 2, ctx.geom, ctx.geom, ctx.flags_dyn,
             self.grid, self._br, q_vals=(v,), s_vals=(v, rho), scalars=(dt,),
         )
 
@@ -389,7 +394,9 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
                 pos, mask, extra, drops = pf_rebucket(
                     pos, ctx.mask, extra, g,
                     br=self.rebucket_row_block or self._br,
+                    row0=self._rebucket_row0(),
                 )
+                drops = self._sum_counts(drops)
             pred = extra[0:2]
             kappa = extra[2]
             stiff = extra[3]

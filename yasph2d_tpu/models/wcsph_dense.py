@@ -58,6 +58,9 @@ class WCSPHDenseSolver:
     # per-band fixed costs differ from the pair passes', so it tunes separately.
     rebucket_row_block: Optional[int] = None
 
+    # see DFSPHDenseSolver._pf_sharded_ok
+    _pf_sharded_ok = False
+
     def __post_init__(self):
         h = self.properties.smoothing_length
         object.__setattr__(self, "density_kernel", Poly6(h))
@@ -76,9 +79,10 @@ class WCSPHDenseSolver:
             assert not self.grid.use_pallas, (
                 "use_pallas_slotmajor excludes the gen-1 Pallas kernel"
             )
-            assert self.grid.halo_axis is None, (
-                "the slot-major Pallas path has no halo collectives "
-                "(single-device only; shard_map solvers keep the XLA path)"
+            assert self.grid.halo_axis is None or self._pf_sharded_ok, (
+                "the vector-last slot-major (sm_*) path has no halo "
+                "collectives; sharded slot-major runs through the plane-form "
+                "solvers (parallel/shard_plane.py)"
             )
             assert self.grid.pair_dtype == "float32", (
                 "the slot-major kernel computes in float32 planes"

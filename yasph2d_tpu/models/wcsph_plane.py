@@ -70,6 +70,11 @@ class WCSPHPlaneSolver(WCSPHPaddedSolver):
     def _br(self) -> int:
         return self.grid.pallas_sm_row_block
 
+    def _max_vel_from_sq(self, v_est_sq):
+        """CFL estimate from the (P, NYP, NXP) squared-speed plane (the plane
+        twin of _max_velocity; the sharded subclass pmaxes it)."""
+        return jnp.sqrt(jnp.max(v_est_sq))
+
     # ------------------------------------------------------------- boundaries
 
     def boundary_planes(self, boundary: BoundaryDense) -> BoundaryPlanes:
@@ -78,7 +83,9 @@ class WCSPHPlaneSolver(WCSPHPaddedSolver):
         g = self.grid
         pos = to_planes(boundary.pos_pad, g, self._br)
         mask = to_planes(boundary.mask, g, self._br).astype(bool)
-        return BoundaryPlanes(dense=boundary, geom=pf_build_geom(pos, mask, self._br))
+        return BoundaryPlanes(
+            dense=boundary, geom=pf_build_geom(pos, mask, self._br, grid=g)
+        )
 
     # ------------------------------------------------------------- host bounds
 
@@ -133,12 +140,14 @@ class WCSPHPlaneSolver(WCSPHPaddedSolver):
         # neighborhood rebuild = plane-form re-bucket (wscsph.rs:153)
         with jax.named_scope("NeighborhoodSearch.update_dynamic"):
             pos, mask, v, drops = pf_rebucket(
-                pos, carry.mask, v, g, br=self.rebucket_row_block or self._br
+                pos, carry.mask, v, g,
+                br=self.rebucket_row_block or self._br,
+                row0=self._rebucket_row0(),
             )
 
         # density passes (fluidparticleworld.rs:197-231 + wscsph.rs:108-116)
-        geom = pf_build_geom(pos, mask, self._br)
-        flags = pass_flags(geom, geom)
+        geom = pf_build_geom(pos, mask, self._br, grid=g)
+        flags = pass_flags(geom, geom, g)
         with jax.named_scope("FluidParticleWorld.update_densities"):
             (dyn_w,) = pf_pair_reduce(
                 lambda dx, dy, r_sq, r, sc, q, s: (
@@ -154,7 +163,7 @@ class WCSPHPlaneSolver(WCSPHPaddedSolver):
 
             stat = pf_pair_reduce(
                 stat_terms, 3, geom, boundary.geom,
-                pass_flags(geom, boundary.geom), g, self._br,
+                pass_flags(geom, boundary.geom, g), g, self._br,
             )
         zero = jnp.zeros((), dtype=REAL)
         dens = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat[0])
@@ -188,7 +197,7 @@ class WCSPHPlaneSolver(WCSPHPaddedSolver):
         # CFL with the *old* dt estimate (wscsph.rs:158-167)
         vstar = v + accel * dt
         v_est_sq = jnp.where(mask, jnp.sum(vstar * vstar, axis=0), 0.0)
-        max_velocity = jnp.sqrt(jnp.max(v_est_sq))
+        max_velocity = self._max_vel_from_sq(v_est_sq)
         time_state = update_simulation_step(
             self.step_config, time_state,
             self.properties.particle_radius * 2.0, max_velocity,
@@ -203,6 +212,6 @@ class WCSPHPlaneSolver(WCSPHPaddedSolver):
         diagnostics = Diagnostics.zeros()._replace(
             dt=dt,
             max_velocity=max_velocity,
-            neighbor_drops=drops + boundary.dense.num_dropped,
+            neighbor_drops=self._sum_counts(drops) + boundary.dense.num_dropped,
         )
         return new_carry, diagnostics

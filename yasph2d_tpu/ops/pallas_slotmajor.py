@@ -30,9 +30,17 @@ neighborhood_search.rs:312-397) and accumulates over the 9 views x Ps source
 slots. Plane-form physics comes from the coefficient methods on the smoothing
 kernels and viscosity models (gradient_coefficient / viscous_coefficient).
 
-Single-device only: the slot-major path has no halo collectives
-(DenseGridConfig.halo_axis must be None); the shard_map solvers keep the XLA
-pair_reduce path.
+Sharding: the PLANE-FORM (pf_*) functions shard over cell rows like the XLA
+path — all collectives stay OUTSIDE the kernels. With grid.halo_axis set,
+`_pf_block_source`'s zero-pad boundary rows are instead filled from the
+neighbor shards with ONE `lax.ppermute` pair per source build (geometry once
+per rebuild via pf_build_geom(grid=...); values once per pass / loop
+iteration inside pf_pair_reduce), and the band skip flags carry the
+neighbor's edge-row occupancy through PFGeom.edge_*_any. pf_rebucket's halo
+rows then ARE the cross-shard migration, exactly like dense_grid.rebucket.
+Requires NYP == ny per shard (row block divides the shard's row count) so the
+exchanged rows are grid-adjacent. The vector-last sm_* entry points remain
+single-device (the padded shard solvers keep the XLA pair_reduce path).
 """
 
 import functools
@@ -135,11 +143,27 @@ def build_geom(pos_pad: jax.Array, mask: jax.Array, br: int) -> SMGeom:
     )
 
 
-def pass_flags(q: SMGeom, s: SMGeom) -> jax.Array:
-    """(nbr, 1) int32 skip flags for a pass with query space q, source space s."""
-    false = jnp.zeros((1,), dtype=bool)
-    below = jnp.concatenate([false, s.last_any[:-1]])  # row above the band
-    above = jnp.concatenate([s.first_any[1:], false])  # row below the band
+def _edge_bits(s, grid: DenseGridConfig):
+    """Occupancy of the neighbor shards' seam rows: (below_any, above_any),
+    each (1,) bool — False at the mesh edges / on a single device."""
+    if grid is None or grid.halo_axis is None:
+        false = jnp.zeros((1,), dtype=bool)
+        return false, false
+    axis_name, n_shards = grid.halo_axis
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    below = jax.lax.ppermute(s.last_any[-1:].astype(jnp.int32), axis_name, fwd)
+    above = jax.lax.ppermute(s.first_any[:1].astype(jnp.int32), axis_name, bwd)
+    return below > 0, above > 0
+
+
+def pass_flags(q, s, grid: DenseGridConfig = None) -> jax.Array:
+    """(nbr, 1) int32 skip flags for a pass with query space q, source space s
+    (SMGeom or PFGeom). Under sharding (grid.halo_axis set) the first/last
+    band's source window extends into the neighbor shard's exchanged seam row."""
+    edge_below, edge_above = _edge_bits(s, grid)
+    below = jnp.concatenate([edge_below, s.last_any[:-1]])  # row above the band
+    above = jnp.concatenate([s.first_any[1:], edge_above])  # row below the band
     window = s.band_any | below | above
     return (q.band_any & window).astype(jnp.int32)[:, None]
 
@@ -377,14 +401,43 @@ def _pf_block_query(planes: jax.Array, br: int) -> jax.Array:
     return planes.reshape(l, p, nyp // br, br, nxp)
 
 
-def _pf_block_source(planes: jax.Array, br: int) -> jax.Array:
+def _pf_halo(planes: jax.Array, grid: DenseGridConfig):
+    """Neighbor-shard boundary rows of a (L, P, NYP, NXP) plane stack: one
+    `lax.ppermute` pair for ALL planes (below = previous shard's last row,
+    above = next shard's first row; zeros at the mesh edges / single device
+    returns None). Requires NYP == grid.ny (no dead padding rows between
+    shards — the sharded drivers pick row blocks dividing the shard height)."""
+    if grid is None or grid.halo_axis is None:
+        return None
+    assert planes.shape[2] == grid.ny, (
+        f"sharded plane layout needs NYP ({planes.shape[2]}) == ny ({grid.ny}): "
+        "pick a row block dividing the shard's row count"
+    )
+    axis_name, n_shards = grid.halo_axis
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    below = jax.lax.ppermute(planes[:, :, -1:], axis_name, fwd)
+    above = jax.lax.ppermute(planes[:, :, :1], axis_name, bwd)
+    return below, above
+
+
+def _pf_block_source(planes: jax.Array, br: int, halo=None) -> jax.Array:
     """(L, P, NYP, NXP) -> (L, P, nbr, BR+2, NXS): overlapping row windows with
-    a one-cell halo ring (left column halo = 1, right pads to NXS)."""
+    a one-cell halo ring (left column halo = 1, right pads to NXS). `halo`
+    (from `_pf_halo`) supplies the boundary rows under spatial sharding; they
+    are zero-padding on a single device."""
     l, p, nyp, nxp = planes.shape
     assert nyp % br == 0, f"plane rows {nyp} not divisible by row block {br}"
     nbr = nyp // br
     nxs = nxp + LANE
-    padded = jnp.pad(planes, ((0, 0), (0, 0), (1, 1), (1, nxs - nxp - 1)))
+    if halo is None:
+        padded = jnp.pad(planes, ((0, 0), (0, 0), (1, 1), (1, nxs - nxp - 1)))
+    else:
+        below, above = halo
+        padded = jnp.pad(
+            jnp.concatenate([below, planes, above], axis=2),
+            ((0, 0), (0, 0), (0, 0), (1, nxs - nxp - 1)),
+        )
     return jnp.stack(
         [padded[:, :, i * br : i * br + br + 2] for i in range(nbr)], axis=2
     )
@@ -398,14 +451,17 @@ def _pf_band_bits(mask: jax.Array, br: int):
     return jnp.any(bands, axis=1), bands[:, 0], bands[:, -1]
 
 
-def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int) -> PFGeom:
+def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
+                  grid: DenseGridConfig = None) -> PFGeom:
     """Blocked geometry from plane-form positions (2, P, NYP, NXP) + mask
-    (P, NYP, NXP)."""
+    (P, NYP, NXP). With `grid.halo_axis` set the source windows' boundary rows
+    come from the neighbor shards (one ppermute pair per rebuild); pass
+    `grid` to `pass_flags` as well so the band skip flags see the seam rows."""
     planes = jnp.concatenate([pos, mask.astype(REAL)[None]], axis=0)
     band_any, first_any, last_any = _pf_band_bits(mask, br)
     return PFGeom(
         q_geom=_pf_block_query(planes, br),
-        s_geom=_pf_block_source(planes, br),
+        s_geom=_pf_block_source(planes, br, halo=_pf_halo(planes, grid)),
         band_any=band_any,
         first_any=first_any,
         last_any=last_any,
@@ -494,7 +550,12 @@ def pf_pair_reduce(
     nxp = q.q_geom.shape[4]
 
     qv_b = _pf_block_query(_pf_concat(q_vals), br) if q_vals else None
-    sv_b = _pf_block_source(_pf_concat(s_vals), br) if s_vals else None
+    if s_vals:
+        sv_planes = _pf_concat(s_vals)
+        # one ppermute pair per pass for ALL source values (None on one device)
+        sv_b = _pf_block_source(sv_planes, br, halo=_pf_halo(sv_planes, grid))
+    else:
+        sv_b = None
     n_qv = qv_b.shape[0] if q_vals else 0
     n_sv = sv_b.shape[0] if s_vals else 0
 
@@ -544,9 +605,13 @@ def pf_pair_reduce(
     return out.reshape(n_out, p, nbr * br, nxp)
 
 
-def pf_move_codes(pos: jax.Array, mask: jax.Array, grid: DenseGridConfig) -> jax.Array:
+def pf_move_codes(pos: jax.Array, mask: jax.Array, grid: DenseGridConfig,
+                  row0=None) -> jax.Array:
     """dense_grid.move_codes in plane form: (P, NYP, NXP) f32 code plane (0 =
-    dead slot; padding rows/cols are dead by the mask invariant)."""
+    dead slot; padding rows/cols are dead by the mask invariant). `row0` is
+    this shard's global cell-row offset under spatial sharding (codes are then
+    computed against the GLOBAL row range so cross-shard moves survive,
+    mirroring dense_grid.move_codes)."""
     _, nyp, nxp = mask.shape
     iy = jnp.arange(nyp, dtype=jnp.int32)[None, :, None]
     ix = jnp.arange(nxp, dtype=jnp.int32)[None, None, :]
@@ -555,9 +620,18 @@ def pf_move_codes(pos: jax.Array, mask: jax.Array, grid: DenseGridConfig) -> jax
     cx = jnp.clip(
         jnp.floor((pos[0] - origin[0]) * inv).astype(jnp.int32), 0, grid.nx - 1
     )
-    cy = jnp.clip(
-        jnp.floor((pos[1] - origin[1]) * inv).astype(jnp.int32), 0, grid.ny - 1
-    )
+    if row0 is None:
+        cy = jnp.clip(
+            jnp.floor((pos[1] - origin[1]) * inv).astype(jnp.int32),
+            0, grid.ny - 1,
+        )
+    else:
+        n_shards = grid.halo_axis[1] if grid.halo_axis is not None else 1
+        cy = jnp.clip(
+            jnp.floor((pos[1] - origin[1]) * inv).astype(jnp.int32),
+            0, grid.ny * n_shards - 1,
+        )
+        iy = iy + row0
     dy = jnp.clip(cy - iy, -1, 1)
     dx = jnp.clip(cx - ix, -1, 1)
     return jnp.where(mask, (dy + 1) * 3 + (dx + 1) + 1, 0).astype(REAL)
@@ -600,29 +674,41 @@ def _pf_rebucket_kernel(n_pay, p, br, nx, *refs):
 
 
 def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
-                interpret: bool = None):
+                interpret: bool = None, row0=None):
     """sm_rebucket in plane form. pos (2, P, NYP, NXP), mask (P, NYP, NXP),
     values (D, P, NYP, NXP). Returns (new_pos, new_mask, new_values,
-    num_dropped) in the same plane layout — no transposes anywhere."""
+    num_dropped) in the same plane layout — no transposes anywhere.
+
+    Under spatial sharding (grid.halo_axis set, `row0` = this shard's global
+    cell-row offset) the exchanged halo rows ARE the cross-shard particle
+    migration, exactly like dense_grid.rebucket: a particle whose advected
+    cell row crosses the seam is re-bucketed into the neighbor shard's edge
+    cells through the halo row (one ppermute pair for code+payload together).
+    num_dropped is per-shard; callers psum it."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    assert grid.halo_axis is None, (
-        "pf_rebucket has no halo exchange; sharded solvers use dense_grid.rebucket"
-    )
     p, nyp, nxp = mask.shape
     d = values.shape[0]
     n_pay = 2 + d
 
-    code = pf_move_codes(pos, mask, grid)
+    code = pf_move_codes(pos, mask, grid, row0=row0)
+    src_planes = jnp.concatenate([code[None], pos, values], axis=0)
+    halo = _pf_halo(src_planes, grid)
     src = _pf_block_source(
-        jnp.concatenate([code[None], pos, values], axis=0), br
+        src_planes, br, halo=halo
     )  # (1+n_pay, P, nbr, BR+2, NXS)
     nbr = src.shape[2]
 
     band_any, first_any, last_any = _pf_band_bits(mask, br)
-    false = jnp.zeros((1,), dtype=bool)
-    below = jnp.concatenate([false, last_any[:-1]])
-    above = jnp.concatenate([first_any[1:], false])
+    if halo is None:
+        edge_below = jnp.zeros((1,), dtype=bool)
+        edge_above = jnp.zeros((1,), dtype=bool)
+    else:
+        # live candidates in the received rows (code plane > 0) may migrate in
+        edge_below = jnp.any(halo[0][0] > 0.0).reshape(1)
+        edge_above = jnp.any(halo[1][0] > 0.0).reshape(1)
+    below = jnp.concatenate([edge_below, last_any[:-1]])
+    above = jnp.concatenate([first_any[1:], edge_above])
     flags = (band_any | below | above).astype(jnp.int32)[:, None]
 
     flag_spec = pl.BlockSpec(flags.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
