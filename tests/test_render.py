@@ -184,3 +184,20 @@ def test_hud_text_and_overlay(tmp_path):
     assert "steps/frame" in text and "dt:" in text and "simulated:" in text
     # HUD pixels actually painted (white text on the frame)
     assert (frames[-1] == 255).all(axis=-1).any()
+
+
+def test_app_plane_solver_wiring():
+    """The app accepts the plane-resident backends: construction builds the
+    plane-form boundary geometry and carry, and the render path exports live
+    particle state from the plane layout. No step is taken (the jitted
+    plane step needs a TPU or an interpret-mode compile; covered by
+    test_plane_solver.py on TPU) — this pins the wiring only."""
+    from yasph2d_tpu.app import SimulationApp, default_world
+
+    world = default_world(particle_density=400.0)
+    app = SimulationApp(solver="wcsph_plane", world=world, resolution=(64, 64))
+    assert app.solver.grid.use_pallas_slotmajor
+    assert hasattr(app.boundary, "geom")  # BoundaryPlanes, not BoundaryDense
+    positions, velocities = app.particle_state()
+    assert positions.shape[0] == world.num_dynamic_particles
+    assert np.isfinite(positions).all() and np.isfinite(velocities).all()

@@ -95,7 +95,8 @@ class SimulationApp:
         h = self.world.properties.smoothing_length
 
         cfl_factor = {"wcsph": 0.2, "wcsph_dense": 0.2, "wcsph_padded": 0.2,
-                      "dfsph": 1.5, "dfsph_dense": 1.5, "dfsph_padded": 1.5}[solver]
+                      "wcsph_plane": 0.2, "dfsph": 1.5, "dfsph_dense": 1.5,
+                      "dfsph_padded": 1.5, "dfsph_plane": 1.5}[solver]
         step_config = AdaptiveTimeStep(
             timestep_max=1.0 / 120.0 / 3.0,  # main.rs:122
             timestep_min=1.0 / 60.0 / 400.0,  # main.rs:123
@@ -119,22 +120,41 @@ class SimulationApp:
                 grid=self.world.grid,
                 step_config=step_config,
             )
-        elif solver in ("dfsph_dense", "dfsph_padded"):
+        elif solver in ("dfsph_dense", "dfsph_padded", "dfsph_plane"):
             from .models.dfsph_dense import DFSPHDenseSolver, DFSPHPaddedSolver
 
             dense_grid = self.world.dense_grid(occupancy=8)
-            cls = DFSPHPaddedSolver if solver == "dfsph_padded" else DFSPHDenseSolver
+            if solver == "dfsph_plane":
+                # plane-resident slot-major Pallas carry; the jitted step
+                # compiles real Mosaic kernels (TPU) or interpret-mode
+                # inlined kernels (CPU -- slow, test/TPU use only)
+                import dataclasses as _dc
+
+                from .models.dfsph_plane import DFSPHPlaneSolver as cls
+
+                dense_grid = _dc.replace(dense_grid, use_pallas_slotmajor=True)
+            else:
+                cls = (DFSPHPaddedSolver if solver == "dfsph_padded"
+                       else DFSPHDenseSolver)
             self.solver = cls(
                 viscosity_model=viscosity,
                 properties=self.world.properties,
                 grid=dense_grid,
                 step_config=step_config,
             )
-        elif solver in ("wcsph_dense", "wcsph_padded"):
+        elif solver in ("wcsph_dense", "wcsph_padded", "wcsph_plane"):
             from .models.wcsph_dense import WCSPHDenseSolver, WCSPHPaddedSolver
 
             dense_grid = self.world.dense_grid(occupancy=8)
-            wcls = WCSPHPaddedSolver if solver == "wcsph_padded" else WCSPHDenseSolver
+            if solver == "wcsph_plane":
+                import dataclasses as _dc
+
+                from .models.wcsph_plane import WCSPHPlaneSolver as wcls
+
+                dense_grid = _dc.replace(dense_grid, use_pallas_slotmajor=True)
+            else:
+                wcls = (WCSPHPaddedSolver if solver == "wcsph_padded"
+                        else WCSPHDenseSolver)
             self.solver = wcls(
                 viscosity_model=viscosity,
                 properties=self.world.properties,
@@ -175,8 +195,10 @@ class SimulationApp:
 
         self._jitted_step = jax.jit(self.solver.step, donate_argnums=0)
         if solver in ("dfsph_dense", "dfsph_padded", "wcsph_dense",
-                      "wcsph_padded"):
+                      "wcsph_padded", "dfsph_plane", "wcsph_plane"):
             self.boundary = self.world.boundary_dense(self.solver.grid)
+            if solver.endswith("_plane"):
+                self.boundary = self.solver.boundary_planes(self.boundary)
         else:
             self.boundary = self.world.boundary_grid()
         # boundary positions for rendering, independent of the solver's index space
@@ -185,7 +207,8 @@ class SimulationApp:
 
     def _init_carry(self):
         state = self.world.initial_state()
-        if self.solver_name in ("dfsph", "dfsph_dense", "dfsph_padded"):
+        if self.solver_name in ("dfsph", "dfsph_dense", "dfsph_padded",
+                                "dfsph_plane", "wcsph_plane"):
             self.carry = self.solver.init_carry(state, self.boundary)
         else:  # wcsph variants carry no boundary-dependent warm state
             self.carry = self.solver.init_carry(state)
