@@ -109,3 +109,32 @@ def test_checkpoint_roundtrip_padded_carry(tmp_path):
     assert float(straight.time.total_simulated_time) == float(
         resumed.time.total_simulated_time
     )
+
+
+def test_checkpoint_roundtrip_plane_carry(tmp_path):
+    """The plane-resident carry (slot-major plane pytree) checkpoints and
+    restores bitwise — checkpoint/resume is layout-agnostic across all three
+    carry generations. WCSPH plane init is pair-pass-free, so this stays in
+    the fast set (stepping the plane solvers is TPU-gated elsewhere)."""
+    from yasph2d_tpu.models.wcsph_plane import WCSPHPlaneSolver
+    import dataclasses
+
+    world = small_dam_break(particle_density=400.0)
+    grid = dataclasses.replace(
+        world.dense_grid(occupancy=8), use_pallas_slotmajor=True
+    )
+    solver = WCSPHPlaneSolver(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties, grid=grid,
+        step_config=FixedTimeStep(1.0 / 3000.0),
+    )
+    carry = solver.init_carry(world.initial_state())
+
+    path = tmp_path / "plane.npz"
+    save_checkpoint(str(path), carry)
+    restored = load_checkpoint(str(path), carry)
+    for g, r in zip(jax.tree_util.tree_leaves(carry),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

@@ -273,3 +273,76 @@ def test_sharded_plane_driver_init_matches_single_device(mesh):
             g = np.where(live[None], g[:2], 0.0)
             r = np.where(live[None], r[:2], 0.0)
         np.testing.assert_array_equal(g, r, err_msg=name)
+
+
+def test_sharded_wcsph_plane_driver_init_matches_single_device(mesh):
+    """WCSPH twin of the driver-init parity test. WCSPH plane init runs no
+    pair kernels (the carry caches only zeroed accelerations), so this stays
+    fast while still exercising ShardedWCSPHPlane's leaf specs and the
+    boundary-plane build (with its seam exchange) inside shard_map."""
+    from yasph2d_tpu.models.wcsph_plane import WCSPHPlaneSolver
+    from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+    from yasph2d_tpu.parallel.shard_plane import ShardedWCSPHPlane
+    from yasph2d_tpu.timemanager import FixedTimeStep
+    from yasph2d_tpu.world import FluidParticleWorld
+
+    world = FluidParticleWorld(1.0, 400.0, 100.0)
+    world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
+    world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 2)
+    full_grid = dataclasses.replace(
+        world.dense_grid(ny_multiple=N_SHARDS),
+        use_pallas_slotmajor=True,
+        pallas_sm_row_block=4,
+    )
+    h = world.properties.smoothing_length
+    visc = XSPHViscosityModel(smoothing_length=h)
+    cfg = FixedTimeStep(1.0 / 3000.0)
+    sharded = ShardedWCSPHPlane(
+        viscosity_model=visc, properties=world.properties,
+        full_grid=full_grid, step_config=cfg, mesh=mesh,
+    )
+    boundary = world.boundary_dense(full_grid)
+    state = world.initial_state()
+
+    carry, bpl = sharded.init(state, boundary, use_jit=False)
+
+    single = WCSPHPlaneSolver(
+        viscosity_model=visc, properties=world.properties,
+        grid=dataclasses.replace(
+            full_grid,
+            pallas_sm_row_block=sharded.solver.grid.pallas_sm_row_block,
+        ),
+        step_config=cfg,
+    )
+    s_carry = single.init_carry(state)
+    s_bpl = single.boundary_planes(boundary)
+
+    mask = np.asarray(s_carry.mask)
+    for (path, g), r in zip(jax.tree_util.tree_flatten_with_path(
+                                jax.device_get(carry))[0],
+                            jax.tree_util.tree_leaves(
+                                jax.device_get(s_carry))):
+        name = jax.tree_util.keystr(path)
+        g = np.asarray(g)
+        r = np.asarray(r)
+        assert g.shape == r.shape, name
+        if name.endswith(".pos"):
+            g = np.where(mask[None], g, 0.0)
+            r = np.where(mask[None], r, 0.0)
+        np.testing.assert_array_equal(g, r, err_msg=name)
+
+    # boundary planes: geometry windows live-masked, mask plane exact
+    b_got = jax.device_get(bpl)
+    b_ref = jax.device_get(s_bpl)
+    for (path, g), r in zip(jax.tree_util.tree_flatten_with_path(b_got)[0],
+                            jax.tree_util.tree_leaves(b_ref)):
+        name = jax.tree_util.keystr(path)
+        g = np.asarray(g)
+        r = np.asarray(r)
+        assert g.shape == r.shape, name
+        if name.endswith("geom.q_geom") or name.endswith("geom.s_geom"):
+            np.testing.assert_array_equal(g[2], r[2], err_msg=name)
+            live = r[2] > 0.0
+            g = np.where(live[None], g[:2], 0.0)
+            r = np.where(live[None], r[:2], 0.0)
+        np.testing.assert_array_equal(g, r, err_msg=name)
