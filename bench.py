@@ -14,8 +14,9 @@ against the BASELINE.json north-star target of 1e9 particle-steps/sec (value/1e9
 Env knobs:
   YASPH_BENCH_SIZES      comma list of approx fluid counts (default 10000,100000,1000000)
   YASPH_BENCH_STEPS      timed steps per size (default 100)
-  YASPH_BENCH_BACKEND    padded | plane | dense | table (default padded; plane =
-                         plane-resident slot-major Pallas carry, see
+  YASPH_BENCH_BACKEND    plane | padded | dense | table (default plane =
+                         plane-resident slot-major Pallas carry, measured best
+                         at every size — PERF.md round 3; see
                          models/dfsph_plane.py)
   YASPH_BENCH_OCCUPANCY  dense slot occupancy (default 7, see PERF.md)
   YASPH_BENCH_ROW_BLOCK  dense pair-pass row block (default size-based, PERF.md)
@@ -314,7 +315,9 @@ def main():
         ).split(",")
     ]
     num_steps = int(os.environ.get("YASPH_BENCH_STEPS", 100))
-    backend = os.environ.get("YASPH_BENCH_BACKEND", "padded")  # padded | dense | table
+    # plane = plane-resident slot-major carry, measured best at 10k/100k/1M
+    # (PERF.md round 3: 2.38 / 13.9 / 82.0 ms/step)
+    backend = os.environ.get("YASPH_BENCH_BACKEND", "plane")
 
     results = {}
     for target in sizes:
