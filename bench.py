@@ -79,10 +79,13 @@ def double_dam_break(target_particles: int) -> FluidParticleWorld:
     return world
 
 
-def bench_one(target: int, num_steps: int, backend: str) -> dict:
+def bench_one(target: int, num_steps: int, backend: str,
+              model: str = "dfsph") -> dict:
     world = double_dam_break(target)
     step_config = AdaptiveTimeStep(
-        timestep_max=1.0 / 360.0, timestep_min=1.0 / 24000.0, cfl_factor=1.5
+        timestep_max=1.0 / 360.0, timestep_min=1.0 / 24000.0,
+        # WCSPH needs the reference's tighter CFL (main.rs:115-118)
+        cfl_factor=0.2 if model == "wcsph" else 1.5,
     )
     viscosity = XSPHViscosityModel(
         smoothing_length=world.properties.smoothing_length
@@ -124,20 +127,36 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
             pair_view_loop=os.environ.get("YASPH_BENCH_VIEW_LOOP") == "1",
         )
-        if backend == "plane":
-            from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver as cls
-        else:
-            cls = DFSPHPaddedSolver if backend == "padded" else DFSPHDenseSolver
-        solver = cls(
+        solver_kwargs = dict(
             viscosity_model=viscosity, properties=world.properties,
             grid=grid, step_config=step_config,
-            rebuild_every=int(os.environ.get("YASPH_BENCH_REBUILD_EVERY", 1)),
-            mxu_loop_gradients=os.environ.get("YASPH_BENCH_MXU") == "1",
             rebucket_row_block=(
                 int(os.environ["YASPH_BENCH_REBUCKET_RB"])
                 if os.environ.get("YASPH_BENCH_REBUCKET_RB") else None
             ),
         )
+        if model == "wcsph":
+            from yasph2d_tpu.models.wcsph_dense import WCSPHPaddedSolver
+            from yasph2d_tpu.models.wcsph_plane import WCSPHPlaneSolver
+
+            assert backend in ("padded", "plane"), "wcsph bench: padded|plane"
+            cls = WCSPHPlaneSolver if backend == "plane" else WCSPHPaddedSolver
+            solver = cls(**solver_kwargs)
+        else:
+            if backend == "plane":
+                from yasph2d_tpu.models.dfsph_plane import (
+                    DFSPHPlaneSolver as cls,
+                )
+            else:
+                cls = (
+                    DFSPHPaddedSolver if backend == "padded"
+                    else DFSPHDenseSolver
+                )
+            solver = cls(
+                rebuild_every=int(os.environ.get("YASPH_BENCH_REBUILD_EVERY", 1)),
+                mxu_loop_gradients=os.environ.get("YASPH_BENCH_MXU") == "1",
+                **solver_kwargs,
+            )
         boundary = world.boundary_dense(grid)
         if backend == "plane":
             boundary = solver.boundary_planes(boundary)
@@ -158,6 +177,8 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
     carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
     if hasattr(carry, "particles"):
         _ = float(carry.particles.densities[0])
+    elif not hasattr(carry, "ctx"):  # WCSPH padded/plane carries
+        _ = float(carry.dens.ravel()[0])
     elif hasattr(carry.ctx, "densities_pad"):
         _ = float(carry.ctx.densities_pad.ravel()[0])
     else:  # plane-resident carry
@@ -166,7 +187,8 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
     if hasattr(carry, "particles"):
         n = int(carry.particles.positions.shape[0])
     else:  # padded-resident carry: live slots
-        n = int(np.asarray(carry.ctx.mask).sum())
+        mask = carry.ctx.mask if hasattr(carry, "ctx") else carry.mask
+        n = int(np.asarray(mask).sum())
 
     # Compile ONE chunk size and reuse it for warm-up and timing (the remote-compile
     # path can be slow; avoid a second compile for a different static step count).
@@ -202,20 +224,24 @@ def bench_one(target: int, num_steps: int, backend: str) -> dict:
     # Diagnostics aggregate across each chunk's steps (Diagnostics.accumulate):
     # drops are per-chunk maxima, iteration counts per-chunk sums.
     drops = max(int(d.neighbor_drops) for d in diags)
-    density_iters = sum(int(d.density_iterations) for d in diags) / num_steps
-    divergence_iters = sum(int(d.divergence_iterations) for d in diags) / num_steps
     _log(f"neighbor drops (max over ALL steps): {drops}")
-    _log(f"iterations/step: density {density_iters:.2f}, "
-         f"divergence {divergence_iters:.2f}")
     assert drops == 0, "occupancy overflow — physics degraded; raise occupancy"
-    return {
+    out = {
         "particles": n,
         "particle_steps_per_sec": n * num_steps / elapsed,
         "ms_per_step": elapsed / num_steps * 1e3,
-        "density_iterations_per_step": density_iters,
-        "divergence_iterations_per_step": divergence_iters,
         "neighbor_drops": drops,
     }
+    if model != "wcsph":  # WCSPH has no pressure loops
+        density_iters = sum(int(d.density_iterations) for d in diags) / num_steps
+        divergence_iters = (
+            sum(int(d.divergence_iterations) for d in diags) / num_steps
+        )
+        _log(f"iterations/step: density {density_iters:.2f}, "
+             f"divergence {divergence_iters:.2f}")
+        out["density_iterations_per_step"] = density_iters
+        out["divergence_iterations_per_step"] = divergence_iters
+    return out
 
 
 def reference_dam_break(target_particles: int = 10_000):
@@ -238,14 +264,26 @@ def reference_dam_break(target_particles: int = 10_000):
 def bench_baseline_config(name: str, num_steps: int) -> dict:
     """BASELINE.json configs 1-3: WCSPH dam-break, DFSPH dam-break, and DFSPH
     high-viscosity (PhysicalViscosityModel mu=0.01, reference main.rs:95-96),
-    all on the reference default scene at ~10k particles."""
+    all on the reference default scene at ~10k particles, run on the FLAGSHIP
+    plane-resident backend (the bench default; YASPH_BENCH_CONFIG_BACKEND=padded
+    selects the previous padded-XLA rows for comparison)."""
     from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
+    from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver
     from yasph2d_tpu.models.wcsph_dense import WCSPHPaddedSolver
+    from yasph2d_tpu.models.wcsph_plane import WCSPHPlaneSolver
     from yasph2d_tpu.models.viscosity import PhysicalViscosityModel
 
+    plane = os.environ.get("YASPH_BENCH_CONFIG_BACKEND", "plane") == "plane"
     world = reference_dam_break()
     h = world.properties.smoothing_length
     grid = world.dense_grid()  # auto occupancy
+    if plane:
+        grid = dataclasses.replace(
+            grid, use_pallas_slotmajor=True,
+            pallas_sm_row_block=int(
+                os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)
+            ),
+        )
     boundary = world.boundary_dense(grid)
     is_wcsph = name == "wcsph_dam_break"
     step_config = AdaptiveTimeStep(
@@ -260,16 +298,18 @@ def bench_baseline_config(name: str, num_steps: int) -> dict:
         viscosity = XSPHViscosityModel(smoothing_length=h)
 
     if is_wcsph:
-        solver = WCSPHPaddedSolver(
-            viscosity_model=viscosity, properties=world.properties,
-            grid=grid, step_config=step_config,
-        )
+        cls = WCSPHPlaneSolver if plane else WCSPHPaddedSolver
+    else:
+        cls = DFSPHPlaneSolver if plane else DFSPHPaddedSolver
+    solver = cls(
+        viscosity_model=viscosity, properties=world.properties,
+        grid=grid, step_config=step_config,
+    )
+    if plane:
+        boundary = solver.boundary_planes(boundary)
+    if is_wcsph:
         carry = jax.jit(solver.init_carry)(world.initial_state())
     else:
-        solver = DFSPHPaddedSolver(
-            viscosity_model=viscosity, properties=world.properties,
-            grid=grid, step_config=step_config,
-        )
         carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
     n = world.num_dynamic_particles
     _log(f"--- config {name}: {n} fluid / {world.num_boundary_particles} "
@@ -324,6 +364,20 @@ def main():
         _log(f"=== size {target} ===")
         results[str(target)] = bench_one(target, num_steps, backend)
 
+    # WCSPH at scale on the flagship backend (round-3 verdict weak #3: WCSPH
+    # was never benched above 10k). YASPH_BENCH_WCSPH=0 skips.
+    wcsph_sizes = {}
+    if os.environ.get("YASPH_BENCH_WCSPH", "1") != "0" and backend == "plane":
+        for target in [
+            int(s) for s in os.environ.get(
+                "YASPH_BENCH_WCSPH_SIZES", "100000,1000000"
+            ).split(",")
+        ]:
+            _log(f"=== WCSPH size {target} ===")
+            wcsph_sizes[str(target)] = bench_one(
+                target, num_steps, "plane", model="wcsph"
+            )
+
     # BASELINE.json configs 1-3 (config 4 is the 100k matrix entry above;
     # config 5 is the driver's multi-chip dryrun). YASPH_BENCH_CONFIGS=0 skips.
     configs = {}
@@ -347,7 +401,11 @@ def main():
                 "value": value,
                 "unit": "particle-steps/sec",
                 "vs_baseline": value / NORTH_STAR_PARTICLE_STEPS_PER_SEC,
-                "extra": {"sizes": results, "baseline_configs": configs},
+                "extra": {
+                    "sizes": results,
+                    "wcsph_sizes": wcsph_sizes,
+                    "baseline_configs": configs,
+                },
             }
         )
     )

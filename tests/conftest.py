@@ -10,8 +10,13 @@ import os
 
 if os.environ.get("YASPH_TEST_TPU") == "1":
     # opt-out for the TPU-only tests (e.g. the full-solver Pallas equivalence in
-    # test_pallas_slotmajor.py): run on the real device instead of the CPU mesh
-    pass
+    # test_pallas_slotmajor.py): run on the real device instead of the CPU mesh.
+    # The remote Mosaic compile service makes first compiles minutes-slow;
+    # the persistent cache makes every re-run of the gated set cost seconds
+    # (same cache dir as bench.py — a bench run pre-warms the solver step).
+    from yasph2d_tpu.utils import compile_cache
+
+    compile_cache.enable()
 else:
     os.environ["JAX_PLATFORMS"] = "cpu"  # force: the CI env may preset the tpu platform
     _flags = os.environ.get("XLA_FLAGS", "")
