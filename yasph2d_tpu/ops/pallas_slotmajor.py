@@ -347,13 +347,27 @@ def sm_pair_reduce(
 
 class PFGeom(NamedTuple):
     """Plane-form blocked geometry of one index space. Field names match SMGeom
-    so `pass_flags` works on either."""
+    so `pass_flags` works on either.
+
+    The occupancy metadata (q_cnt for the query role, s_cnt for the source
+    role; both per (band, 128-lane column chunk)) drives the kernels'
+    dead-work skipping: slot loops run `fori_loop(0, cnt)` with the CHUNK's
+    live bound instead of unrolling all P slots, and chunks whose bound is 0
+    on either side are skipped outright. Bounds use the max live slot INDEX
+    (not the count), so they are exact for non-compacted masks too;
+    everything a bound excludes is a slot the old fully-unrolled kernels
+    would have masked to an exact +0.0 — outputs are bitwise-identical.
+    Computed from the blocked geometry itself, so under sharding the
+    exchanged halo rows are included automatically."""
 
     q_geom: jax.Array  # (3, P, nbr, BR, NXP) f32: x, y, mask planes
     s_geom: jax.Array  # (3, P, nbr, BR+2, NXS) f32: haloed source windows
     band_any: jax.Array  # (nbr,) bool
     first_any: jax.Array  # (nbr,) bool
     last_any: jax.Array  # (nbr,) bool
+    q_cnt: jax.Array  # (nbr, NXP//128) int32: query slot bound per chunk
+    s_cnt: jax.Array  # (nbr, NXP//128) int32: source slot bound per chunk
+    #   window (s_geom columns [cc*128, cc*128 + 130))
 
 
 def pf_dims(grid: DenseGridConfig, br: int):
@@ -451,77 +465,155 @@ def _pf_band_bits(mask: jax.Array, br: int):
     return jnp.any(bands, axis=1), bands[:, 0], bands[:, -1]
 
 
+def _col_slot_bound(mask: jax.Array) -> jax.Array:
+    """(P, nbr, R, C) bool -> (nbr, C) int32: per column, 1 + highest live
+    slot index in any of the band's rows (exact for non-compacted masks,
+    unlike a count)."""
+    p = mask.shape[0]
+    sl = jnp.arange(1, p + 1, dtype=jnp.int32).reshape(p, 1, 1, 1)
+    return jnp.max(jnp.where(mask, sl, 0), axis=(0, 2))
+
+
+def _pf_meta(q_geom: jax.Array, s_geom: jax.Array):
+    """Occupancy metadata from the blocked mask planes: (q_cnt, s_cnt), both
+    (nbr, ncb) int32 slot-loop bounds per 128-lane column chunk. Chunk cc of
+    the query covers NXP lanes [cc*128, (cc+1)*128); its source window covers
+    s_geom columns [cc*128, cc*128 + 130) (the NXS layout is left-shifted by
+    the one-lane halo, so no extra offset)."""
+    qm = q_geom[2] > 0.0  # (P, nbr, BR, NXP)
+    _, nbr, _, nxp = qm.shape
+    ncb = nxp // LANE
+    qb = _col_slot_bound(qm)  # (nbr, NXP)
+    q_cnt = jnp.max(qb.reshape(nbr, ncb, LANE), axis=2)
+    s_cnt = _pf_source_meta(s_geom[2] > 0.0, ncb)
+    return q_cnt, s_cnt
+
+
+def _pf_source_meta(sm: jax.Array, ncb: int) -> jax.Array:
+    """Source-side occupancy meta from a blocked source mask (P, nbr, BR+2,
+    NXS) bool: (nbr, ncb) int32 slot-loop bound over query chunk cc's source
+    window (s_geom columns [cc*128, cc*128 + 130))."""
+    nbr = sm.shape[1]
+    sb = _col_slot_bound(sm)  # (nbr, NXS)
+    chunk = jnp.max(sb[:, : ncb * LANE].reshape(nbr, ncb, LANE), axis=2)
+    return jnp.maximum(
+        chunk,
+        jnp.maximum(
+            sb[:, LANE::LANE][:, :ncb], sb[:, LANE + 1 :: LANE][:, :ncb]
+        ),
+    )
+
+
 def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
                   grid: DenseGridConfig = None) -> PFGeom:
     """Blocked geometry from plane-form positions (2, P, NYP, NXP) + mask
     (P, NYP, NXP). With `grid.halo_axis` set the source windows' boundary rows
     come from the neighbor shards (one ppermute pair per rebuild); pass
-    `grid` to `pass_flags` as well so the band skip flags see the seam rows."""
+    `grid` to `pass_flags` as well so the band skip flags see the seam rows.
+    Occupancy metadata (slot-loop bounds + column-chunk flags) is computed
+    from the blocked masks, halo rows included."""
     planes = jnp.concatenate([pos, mask.astype(REAL)[None]], axis=0)
     band_any, first_any, last_any = _pf_band_bits(mask, br)
+    q_geom = _pf_block_query(planes, br)
+    s_geom = _pf_block_source(planes, br, halo=_pf_halo(planes, grid))
+    q_cnt, s_cnt = _pf_meta(q_geom, s_geom)
     return PFGeom(
-        q_geom=_pf_block_query(planes, br),
-        s_geom=_pf_block_source(planes, br, halo=_pf_halo(planes, grid)),
+        q_geom=q_geom,
+        s_geom=s_geom,
         band_any=band_any,
         first_any=first_any,
         last_any=last_any,
+        q_cnt=q_cnt,
+        s_cnt=s_cnt,
     )
 
 
 def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, radius_sq, *refs):
-    """PF kernel body — the same (qp, view, sp) accumulation as _sm_kernel with
-    the band axis indexed mid-tensor. refs: flag(SMEM), *scalars(SMEM), q_geom,
-    s_geom, [q_vals], [s_vals], out."""
-    flag_ref = refs[0]
-    flag = flag_ref[pl.program_id(0), 0]
-    scalars = tuple(refs[1 + i][0, 0] for i in range(n_sc))
-    qg = refs[1 + n_sc]
-    sg = refs[2 + n_sc]
-    idx = 3 + n_sc
+    """PF kernel body — occupancy-adaptive: per 128-lane column chunk, the
+    query/source slot loops are fori_loops bounded by the CHUNK's live slot
+    bounds (SMEM, per (band, chunk)); a chunk dead on either side is skipped
+    outright. Per output element the accumulation order is the fully-unrolled
+    kernel's exact (dyv, dxv, sp) order and every skipped candidate is one
+    the unrolled kernel masked to +0.0, so outputs are BITWISE identical to
+    it (and so to _sm_kernel). refs: flag(SMEM), q_cnt(SMEM (nbr, ncb)),
+    s_cnt(SMEM (nbr, ncb)), *scalars(SMEM), q_geom, s_geom, [q_vals],
+    [s_vals], out."""
+    i = pl.program_id(0)
+    flag = refs[0][i, 0]
+    qcnt_ref = refs[1]
+    scnt_ref = refs[2]
+    scalars = tuple(refs[3 + k][0, 0] for k in range(n_sc))
+    qg = refs[3 + n_sc]
+    sg = refs[4 + n_sc]
+    idx = 5 + n_sc
     qv = refs[idx] if n_qv else None
     idx += 1 if n_qv else 0
     sv = refs[idx] if n_sv else None
     out_ref = refs[-1]
 
-    @pl.when(flag == 0)
-    def _skip():
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    # dead bands/chunks/slots must output exact zeros (the unrolled kernel's
+    # masked sums); live chunks overwrite below
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    ncb = nx // LANE
 
     @pl.when(flag != 0)
     def _run():
-        for qp in range(p):
-            qx = qg[0, qp, 0]
-            qy = qg[1, qp, 0]
-            qm = qg[2, qp, 0] > 0.0
-            q_planes = tuple(qv[l, qp, 0] for l in range(n_qv))
-            accs = [jnp.zeros((br, nx), dtype=REAL) for _ in range(n_out)]
-            for dyv in range(3):
-                for dxv in range(3):
-                    for sp in range(ps):
-                        cx = sg[0, sp, 0, dyv : dyv + br, dxv : dxv + nx]
-                        cy = sg[1, sp, 0, dyv : dyv + br, dxv : dxv + nx]
-                        cm = sg[2, sp, 0, dyv : dyv + br, dxv : dxv + nx]
-                        s_planes = tuple(
-                            sv[l, sp, 0, dyv : dyv + br, dxv : dxv + nx]
-                            for l in range(n_sv)
-                        )
-                        dx = cx - qx
-                        dy = cy - qy
-                        r_sq = dx * dx + dy * dy
-                        valid = (
-                            qm
-                            & (cm > 0.0)
-                            & (r_sq <= radius_sq)
-                            & (r_sq > MIN_DISTANCE_SQ)
-                        )
-                        outs = term_fn(
-                            dx, dy, r_sq, jnp.sqrt(r_sq), scalars, q_planes,
-                            s_planes,
-                        )
-                        for k, o in enumerate(outs):
-                            accs[k] = accs[k] + jnp.where(valid, o, 0.0)
-            for k in range(n_out):
-                out_ref[k, qp, 0] = accs[k]
+        for cc in range(ncb):
+            c0 = cc * LANE
+            q_cnt = qcnt_ref[i, cc]
+            s_cnt = scnt_ref[i, cc]
+
+            @pl.when((q_cnt > 0) & (s_cnt > 0))
+            def _chunk(c0=c0, q_cnt=q_cnt, s_cnt=s_cnt):
+                def qp_body(qp, _):
+                    qx = qg[0, qp, 0, :, c0 : c0 + LANE]
+                    qy = qg[1, qp, 0, :, c0 : c0 + LANE]
+                    qm = qg[2, qp, 0, :, c0 : c0 + LANE] > 0.0
+                    q_planes = tuple(
+                        qv[l, qp, 0, :, c0 : c0 + LANE] for l in range(n_qv)
+                    )
+                    accs = tuple(
+                        jnp.zeros((br, LANE), dtype=REAL) for _ in range(n_out)
+                    )
+                    for dyv in range(3):
+                        for dxv in range(3):
+
+                            def sp_body(sp, accs, dyv=dyv, dxv=dxv):
+                                cols = pl.ds(c0 + dxv, LANE)
+                                rows = pl.ds(dyv, br)
+                                cx = sg[0, sp, 0, rows, cols]
+                                cy = sg[1, sp, 0, rows, cols]
+                                cm = sg[2, sp, 0, rows, cols]
+                                s_planes = tuple(
+                                    sv[l, sp, 0, rows, cols]
+                                    for l in range(n_sv)
+                                )
+                                dx = cx - qx
+                                dy = cy - qy
+                                r_sq = dx * dx + dy * dy
+                                valid = (
+                                    qm
+                                    & (cm > 0.0)
+                                    & (r_sq <= radius_sq)
+                                    & (r_sq > MIN_DISTANCE_SQ)
+                                )
+                                outs = term_fn(
+                                    dx, dy, r_sq, jnp.sqrt(r_sq), scalars,
+                                    q_planes, s_planes,
+                                )
+                                # where (not multiply): masked slots may hold
+                                # inf/NaN and NaN * 0 == NaN
+                                return tuple(
+                                    a + jnp.where(valid, o, 0.0)
+                                    for a, o in zip(accs, outs)
+                                )
+
+                            accs = jax.lax.fori_loop(0, s_cnt, sp_body, accs)
+                    for k in range(n_out):
+                        out_ref[k, qp, 0, :, c0 : c0 + LANE] = accs[k]
+                    return 0
+
+                jax.lax.fori_loop(0, q_cnt, qp_body, 0)
 
 
 def pf_pair_reduce(
@@ -567,12 +659,15 @@ def pf_pair_reduce(
             blk, lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
         )
 
-    flag_spec = pl.BlockSpec(flags.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    def smem_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    flag_spec = smem_spec(flags)
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
-    operands = [flags] + scalars_2d + [q.q_geom, s.s_geom]
+    operands = [flags, q.q_cnt, s.s_cnt] + scalars_2d + [q.q_geom, s.s_geom]
     in_specs = (
-        [flag_spec]
+        [flag_spec, smem_spec(q.q_cnt), smem_spec(s.s_cnt)]
         + [scalar_spec for _ in scalars_2d]
         + [vmem_spec(q.q_geom), vmem_spec(s.s_geom)]
     )
@@ -638,39 +733,83 @@ def pf_move_codes(pos: jax.Array, mask: jax.Array, grid: DenseGridConfig,
 
 
 def _pf_rebucket_kernel(n_pay, p, br, nx, *refs):
-    """PF re-bucket body — same candidate scan as _sm_rebucket_kernel, plane-
-    form indexing. refs: flag(SMEM), src (1+n_pay, P, 1, BR+2, NXS) with plane
-    0 = move code, out (n_pay+1, P, 1, BR, NXP), last plane = incoming total
-    (identical per slot; consumers read slot 0)."""
-    flag_ref, src, out_ref = refs
-    flag = flag_ref[pl.program_id(0), 0]
+    """PF re-bucket body — occupancy-adaptive candidate scan. refs: flag(SMEM
+    (nbr, 1)), s_cnt(SMEM (nbr, ncb) per-chunk candidate slot bound), src
+    (1+n_pay, P, 1, BR+2, NXS) with plane 0 = move code, out (n_pay+1, P, 1,
+    BR, NXP). Per live column chunk: one counting scan over the window's live
+    candidate slots yields the incoming-total plane (written at slot 0 —
+    consumers read only slot 0) and the chunk's max incoming count, which
+    bounds the target slot loop; each target slot then rescans candidates in
+    the fully-unrolled kernel's exact (dyv, dxv, sp) order, so payloads land
+    bitwise-identically. Dead chunks / target slots beyond the incoming max
+    keep the pre-written zeros, which is exactly what the unrolled kernel's
+    masked sums produced."""
+    flag_ref, cnt_ref, src, out_ref = refs
+    i = pl.program_id(0)
+    flag = flag_ref[i, 0]
 
-    @pl.when(flag == 0)
-    def _skip():
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    ncb = nx // LANE
 
     @pl.when(flag != 0)
     def _run():
-        for qp in range(p):
-            cnt = jnp.zeros((br, nx), dtype=REAL)
-            accs = [jnp.zeros((br, nx), dtype=REAL) for _ in range(n_pay)]
-            for dyv in range(3):
-                for dxv in range(3):
-                    expected = float((2 - dyv) * 3 + (2 - dxv) + 1)
-                    for sp in range(p):
-                        c = src[0, sp, 0, dyv : dyv + br, dxv : dxv + nx]
-                        sel = c == expected
-                        hit = sel & (cnt == float(qp))
-                        for k in range(n_pay):
-                            accs[k] = accs[k] + jnp.where(
-                                hit,
-                                src[1 + k, sp, 0, dyv : dyv + br, dxv : dxv + nx],
-                                0.0,
+        for cc in range(ncb):
+            c0 = cc * LANE
+            s_cnt = cnt_ref[i, cc]
+
+            @pl.when(s_cnt > 0)
+            def _chunk(c0=c0, s_cnt=s_cnt):
+                # counting scan: per-cell incoming total for this chunk
+                cnt = jnp.zeros((br, LANE), dtype=REAL)
+                for dyv in range(3):
+                    for dxv in range(3):
+                        expected = float((2 - dyv) * 3 + (2 - dxv) + 1)
+
+                        def cnt_body(sp, cnt, dyv=dyv, dxv=dxv,
+                                     expected=expected):
+                            c = src[0, sp, 0, pl.ds(dyv, br),
+                                    pl.ds(c0 + dxv, LANE)]
+                            return cnt + jnp.where(c == expected, 1.0, 0.0)
+
+                        cnt = jax.lax.fori_loop(0, s_cnt, cnt_body, cnt)
+                out_ref[n_pay, 0, 0, :, c0 : c0 + LANE] = cnt
+                qp_max = jnp.minimum(jnp.max(cnt).astype(jnp.int32), p)
+
+                def qp_body(qp, _):
+                    run = jnp.zeros((br, LANE), dtype=REAL)
+                    accs = tuple(
+                        jnp.zeros((br, LANE), dtype=REAL)
+                        for _ in range(n_pay)
+                    )
+                    qp_f = qp.astype(REAL)
+                    for dyv in range(3):
+                        for dxv in range(3):
+                            expected = float((2 - dyv) * 3 + (2 - dxv) + 1)
+
+                            def sp_body(sp, carry, dyv=dyv, dxv=dxv,
+                                        expected=expected):
+                                run, accs = carry
+                                rows = pl.ds(dyv, br)
+                                cols = pl.ds(c0 + dxv, LANE)
+                                c = src[0, sp, 0, rows, cols]
+                                sel = c == expected
+                                hit = sel & (run == qp_f)
+                                accs = tuple(
+                                    a + jnp.where(
+                                        hit, src[1 + k, sp, 0, rows, cols], 0.0
+                                    )
+                                    for k, a in enumerate(accs)
+                                )
+                                return run + jnp.where(sel, 1.0, 0.0), accs
+
+                            run, accs = jax.lax.fori_loop(
+                                0, s_cnt, sp_body, (run, accs)
                             )
-                        cnt = cnt + jnp.where(sel, 1.0, 0.0)
-            for k in range(n_pay):
-                out_ref[k, qp, 0] = accs[k]
-            out_ref[n_pay, qp, 0] = cnt
+                    for k in range(n_pay):
+                        out_ref[k, qp, 0, :, c0 : c0 + LANE] = accs[k]
+                    return 0
+
+                jax.lax.fori_loop(0, qp_max, qp_body, 0)
 
 
 def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
@@ -711,7 +850,13 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
     above = jnp.concatenate([first_any[1:], edge_above])
     flags = (band_any | below | above).astype(jnp.int32)[:, None]
 
-    flag_spec = pl.BlockSpec(flags.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    # occupancy meta from the move-code plane (live candidate = code > 0),
+    # halo rows included since src is blocked post-exchange
+    s_cnt = _pf_source_meta(src[0] > 0.0, nxp // LANE)
+
+    def smem_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
     src_spec = pl.BlockSpec(
         src.shape[:2] + (1,) + src.shape[3:], lambda i: (0, 0, i, 0, 0),
         memory_space=pltpu.VMEM,
@@ -726,12 +871,12 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
     out = pl.pallas_call(
         kernel,
         grid=(nbr,),
-        in_specs=[flag_spec, src_spec],
+        in_specs=[smem_spec(flags), smem_spec(s_cnt), src_spec],
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(flags, src)
+    )(flags, s_cnt, src)
 
     out = out.reshape(n_pay + 1, p, nbr * br, nxp)
     new_pos = out[0:2]

@@ -142,10 +142,10 @@ class _ShardedPlaneBase(ShardedDFSPHDense):
                 return P(None, None, SPACE_AXIS)  # (2, P, NYP, NXP) vectors
             if len(s) == 3 and s[2] == nxp:
                 return P(None, SPACE_AXIS)  # (P, NYP, NXP) scalar planes
-            if len(s) == 2 and s[1] == 1:
-                return P(SPACE_AXIS)  # (nbr, 1) band flags
+            if len(s) == 2 and s[0] == nbr:
+                return P(SPACE_AXIS)  # (nbr, 1) flags / (nbr, ncb) col chunks
             if len(s) == 1 and s[0] == nbr:
-                return P(SPACE_AXIS)  # (nbr,) band bits
+                return P(SPACE_AXIS)  # (nbr,) band bits / slot-loop bounds
             if s[0] == n_local:
                 return P(SPACE_AXIS)  # per-particle state blocks
             return P()
