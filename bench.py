@@ -26,6 +26,8 @@ Env knobs:
                          Pallas kernel (ops/pallas_slotmajor.py); DEFAULT ON
                          (measured best, PERF.md round 3), 0 = XLA pair passes
   YASPH_BENCH_SM_ROW_BLOCK  slot-major band height (default 8)
+  YASPH_BENCH_PF_CHUNK   pf-kernel adaptive-bound chunk width in lanes
+                         (unset = full-width bands; 128 = finest skipping)
   YASPH_BENCH_REBUILD_EVERY  k-step neighbor rebuild (default 1 = conformance;
                              k>1 is the opt-in Verlet-style mode, see PERF.md)
 """
@@ -124,6 +126,12 @@ def bench_one(target: int, num_steps: int, backend: str,
                 or backend == "plane"
             ),
             pallas_sm_row_block=int(os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)),
+            # pf kernels' adaptive-bound chunk width: unset/empty = full-width
+            # bands (per-band slot bounds); "128" etc. = finer dead-chunk skip
+            pallas_pf_chunk_lanes=(
+                int(os.environ["YASPH_BENCH_PF_CHUNK"])
+                if os.environ.get("YASPH_BENCH_PF_CHUNK") else None
+            ),
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
             pair_view_loop=os.environ.get("YASPH_BENCH_VIEW_LOOP") == "1",
         )

@@ -1,0 +1,156 @@
+"""bfloat16 operand planes in the plane-form Pallas kernels.
+
+With `DenseGridConfig.pair_dtype == "bfloat16"` on the pf path, the blocked
+geometry (positions rebased onto each cell's CENTER, so values in [-h/2, h/2]
+survive the 8-bit mantissa) and every value plane are stored/moved in bf16 —
+half the HBM and halo-ppermute bytes — while the kernel upcasts at load and
+runs ALL math and accumulation in float32 (strictly more accurate than the
+XLA pair_reduce bf16 mode, which also computes in bf16). These tests pin:
+- pf_pair_reduce bf16 agrees with its own f32 mode to bf16 storage rounding;
+- a bf16 plane-resident DFSPH run stays finite, incompressible, and close to
+  the f32 plane trajectory (interpret mode, CPU).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver
+from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+from yasph2d_tpu.ops.dense_grid import build_slot_grid, cell_keys, pad_to_slots
+from yasph2d_tpu.ops.pallas_slotmajor import (
+    from_planes,
+    pass_flags,
+    pf_build_geom,
+    pf_pair_reduce,
+    to_planes,
+)
+from yasph2d_tpu.ops.smoothing_kernels import WendlandQuinticC2
+from yasph2d_tpu.timemanager import FixedTimeStep
+
+from test_wcsph import small_dam_break
+
+BR = 4
+
+
+def _plane_scene(pair_dtype):
+    world = small_dam_break(particle_density=1600.0)
+    grid = dataclasses.replace(
+        world.dense_grid(occupancy=12),
+        pair_dtype=pair_dtype,
+        use_pallas_slotmajor=True,
+    )
+    pos = world.initial_state().positions
+    keys = cell_keys(pos, grid)
+    order = jnp.argsort(keys)
+    slots = build_slot_grid(keys[order], grid)
+    pos_pad = pad_to_slots(pos[order], slots, grid)
+    mask = slots.slot_mask.reshape(grid.ny, grid.nx, grid.occupancy)
+    pos_pf = to_planes(pos_pad, grid, BR)
+    mask_pf = to_planes(mask, grid, BR).astype(bool)
+    return world, grid, pos_pf, mask_pf
+
+
+def test_pf_pair_reduce_bf16_matches_f32_within_storage_rounding():
+    world, grid32, pos_pf, mask_pf = _plane_scene("float32")
+    grid16 = dataclasses.replace(grid32, pair_dtype="bfloat16")
+    kernel = WendlandQuinticC2(world.properties.smoothing_length)
+    m = float(world.properties.particle_mass)
+
+    def ctx_terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+        w = kernel.evaluate(r_sq, r)
+        mgc = kernel.gradient_coefficient(r_sq, r) * m
+        return (w, mgc * dx, mgc * dy)
+
+    def run(grid):
+        geom = pf_build_geom(pos_pf, mask_pf, BR, grid=grid)
+        assert geom.q_geom.dtype == grid.pair_jnp_dtype
+        out = pf_pair_reduce(
+            ctx_terms, 3, geom, geom, pass_flags(geom, geom, grid), grid, BR
+        )
+        assert out.dtype == jnp.float32  # accumulation stays f32 either way
+        return [from_planes(out[k], grid) for k in range(3)]
+
+    f32 = [np.asarray(a) for a in jax.jit(lambda: run(grid32))()]
+    bf16 = [np.asarray(a) for a in jax.jit(lambda: run(grid16))()]
+
+    live = np.asarray(from_planes(mask_pf.astype(jnp.float32), grid32)) > 0.5
+    # per-pair position error ~0.5% of h; W sums see partial cancellation
+    w_scale = np.abs(f32[0][live]).max()
+    np.testing.assert_allclose(bf16[0][live], f32[0][live], atol=0.02 * w_scale)
+    # gradients amplify edge-of-support error (same envelope as the XLA bf16
+    # mode's test, tests/test_bf16_pairs.py)
+    for k in (1, 2):
+        g_scale = np.abs(f32[k][live]).max()
+        np.testing.assert_allclose(
+            bf16[k][live], f32[k][live], atol=0.06 * g_scale
+        )
+
+
+def _plane_solver(world, grid):
+    return DFSPHPlaneSolver(
+        viscosity_model=XSPHViscosityModel(
+            smoothing_length=world.properties.smoothing_length
+        ),
+        properties=world.properties,
+        grid=grid,
+        step_config=FixedTimeStep(1.0 / 3000.0),
+    )
+
+
+@pytest.mark.slow
+def test_bf16_plane_dfsph_tracks_f32():
+    # same scene/horizon as the XLA bf16 envelope test (test_bf16_pairs.py).
+    # The coarser 900-density scene transiently compresses to ~1.6x rho0 at
+    # the dam-impact front within 8 steps in EXACT f32 too (measured: f32
+    # 158.5, XLA bf16 161.2) — a density envelope there tests the scene, not
+    # the dtype.
+    world = small_dam_break(particle_density=1600.0)
+    grid32 = dataclasses.replace(
+        world.dense_grid(occupancy=12), use_pallas_slotmajor=True
+    )
+    grid16 = dataclasses.replace(grid32, pair_dtype="bfloat16")
+    h = world.properties.smoothing_length
+    b32 = _plane_solver(world, grid32).boundary_planes(
+        world.boundary_dense(grid32)
+    )
+    b16 = _plane_solver(world, grid16).boundary_planes(
+        world.boundary_dense(grid16)
+    )
+
+    s32, s16 = _plane_solver(world, grid32), _plane_solver(world, grid16)
+    c32 = s32.init_carry(world.initial_state(), b32)
+    c16 = s16.init_carry(world.initial_state(), b16)
+
+    rho16 = np.asarray(from_planes(c16.ctx.densities, grid16))
+    rho32 = np.asarray(from_planes(c32.ctx.densities, grid32))
+    live = np.asarray(from_planes(c32.ctx.mask.astype(jnp.float32), grid32)) > 0.5
+    np.testing.assert_allclose(rho16[live], rho32[live], atol=2.0)
+
+    c32, d32 = jax.jit(s32.simulate, static_argnums=2)(c32, b32, 8)
+    c16, d16 = jax.jit(s16.simulate, static_argnums=2)(c16, b16, 8)
+
+    assert int(d16.neighbor_drops) == 0
+    st16, st32 = s16.export_state(c16), s32.export_state(c32)
+    p16 = np.asarray(st16.positions)[np.asarray(st16.alive)]
+    v16 = np.asarray(st16.velocities)[np.asarray(st16.alive)]
+    p32 = np.asarray(st32.positions)[np.asarray(st32.alive)]
+    v32 = np.asarray(st32.velocities)[np.asarray(st32.alive)]
+    assert np.isfinite(p16).all()
+    assert p16.shape == p32.shape
+    # aggregate-physics agreement: bf16 rounding makes individual splash-front
+    # trajectories diverge chaotically within a few steps, so compare the
+    # center of mass, kinetic energy, and the inlier distribution (worst few
+    # stragglers excluded), not per-particle pairs
+    np.testing.assert_allclose(p16.mean(axis=0), p32.mean(axis=0), atol=0.05 * h)
+    ke16, ke32 = float((v16**2).sum()), float((v32**2).sum())
+    assert abs(ke16 - ke32) < 0.05 * max(ke32, 1e-6)
+    for k in (0, 1):
+        lo16, hi16 = np.quantile(np.sort(p16[:, k]), [0.02, 0.98])
+        lo32, hi32 = np.quantile(np.sort(p32[:, k]), [0.02, 0.98])
+        assert abs(lo16 - lo32) < 0.2 * h and abs(hi16 - hi32) < 0.2 * h
+    rho = np.asarray(st16.densities)[np.asarray(st16.alive)]
+    assert rho.min() >= 100.0 and rho.max() < 112.0

@@ -179,6 +179,9 @@ class DFSPHDenseSolver:
     # vector-last sm_* kernels this class uses do not. The plane shard solvers
     # (parallel/shard_plane.py) flip this to lift the halo assert.
     _pf_sharded_ok = False
+    # pf_* kernels support bf16 operand planes (cell-relative rebase, f32
+    # math); the sm_* kernels do not. The plane solvers flip this.
+    _pf_bf16_ok = False
 
     def __post_init__(self):
         object.__setattr__(
@@ -207,8 +210,9 @@ class DFSPHDenseSolver:
                 "collectives; sharded slot-major runs through the plane-form "
                 "solvers (parallel/shard_plane.py)"
             )
-            assert self.grid.pair_dtype == "float32", (
-                "the slot-major kernel computes in float32 planes"
+            assert self.grid.pair_dtype == "float32" or self._pf_bf16_ok, (
+                "the vector-last slot-major (sm_*) kernels compute in float32 "
+                "planes; bf16 operand planes need the plane-form solvers"
             )
         if self.grid.use_pallas:
             from functools import partial

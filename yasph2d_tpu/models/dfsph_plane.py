@@ -99,6 +99,9 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
     """DFSPH, plane-resident slot-major carry. Requires
     grid.use_pallas_slotmajor=True (single device)."""
 
+    # pf kernels support bf16 operand planes (ops/pallas_slotmajor._pf_dtype)
+    _pf_bf16_ok = True
+
     def __post_init__(self):
         super().__post_init__()
         assert self.grid.use_pallas_slotmajor, (

@@ -58,8 +58,9 @@ class WCSPHDenseSolver:
     # per-band fixed costs differ from the pair passes', so it tunes separately.
     rebucket_row_block: Optional[int] = None
 
-    # see DFSPHDenseSolver._pf_sharded_ok
+    # see DFSPHDenseSolver._pf_sharded_ok / _pf_bf16_ok
     _pf_sharded_ok = False
+    _pf_bf16_ok = False
 
     def __post_init__(self):
         h = self.properties.smoothing_length
@@ -84,8 +85,9 @@ class WCSPHDenseSolver:
                 "collectives; sharded slot-major runs through the plane-form "
                 "solvers (parallel/shard_plane.py)"
             )
-            assert self.grid.pair_dtype == "float32", (
-                "the slot-major kernel computes in float32 planes"
+            assert self.grid.pair_dtype == "float32" or self._pf_bf16_ok, (
+                "the vector-last slot-major (sm_*) kernels compute in float32 "
+                "planes; bf16 operand planes need the plane-form solvers"
             )
         if self.grid.use_pallas:
             from functools import partial

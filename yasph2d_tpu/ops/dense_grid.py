@@ -87,6 +87,12 @@ class DenseGridConfig:
     # pass keeps the XLA path (thin-shell column blocking). Single-device only.
     use_pallas_slotmajor: bool = False
     pallas_sm_row_block: int = 8
+    # Column-chunk width (lanes, multiple of 128) of the plane-form kernels'
+    # occupancy-adaptive slot bounds: smaller chunks skip dead work at finer
+    # granularity but pay 13x the loop-control overhead at the 1M grid; None =
+    # one full-width chunk per band (per-BAND slot bounds, every vector op on
+    # whole (BR, NXP) planes). Outputs are bitwise-identical at every width.
+    pallas_pf_chunk_lanes: Optional[int] = None
     # Dtype of the per-pair math inside pair_reduce: "float32" (exact, default) or
     # "bfloat16" (fast path). bfloat16 uses CELL-RELATIVE coordinates: positions are
     # rebased onto their own cell center (magnitude <= h/2, so pair differences

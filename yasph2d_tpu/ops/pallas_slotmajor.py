@@ -408,6 +408,34 @@ def _pf_concat(vals: Sequence[jax.Array]) -> jax.Array:
     return comps[0] if len(comps) == 1 else jnp.concatenate(comps, axis=0)
 
 
+def _pf_dtype(grid: DenseGridConfig):
+    """Operand dtype of the pf kernels: `grid.pair_dtype` selects bfloat16
+    STORAGE/TRAFFIC (geometry + value planes live in HBM/VMEM/halo ppermutes at
+    half the bytes); kernel math and accumulation stay float32 (the kernel
+    upcasts at load), so this mode is strictly more accurate than the XLA
+    pair_reduce's bf16 mode, which also computes in bf16."""
+    return REAL if grid is None else grid.pair_jnp_dtype
+
+
+def _pf_rebase(pos: jax.Array, grid: DenseGridConfig) -> jax.Array:
+    """Rebase plane-form positions (2, P, NYP, NXP) onto each cell's own
+    CENTER (global cell rows under sharding, so cross-seam pairs of different
+    shards agree): values in [-h/2, h/2] survive the cast to bf16, absolute
+    coordinates would not. The kernel adds the constant per-view center delta
+    ((dxv-1)*h, (dyv-1)*h) back in f32 — same scheme as the XLA bf16 path
+    (dense_grid.pair_reduce `relative=True`)."""
+    _, _, nyp, nxp = pos.shape
+    h = jnp.asarray(grid.cell_size, REAL)
+    row0 = 0
+    if grid.halo_axis is not None:  # this shard's global cell-row offset
+        row0 = jax.lax.axis_index(grid.halo_axis[0]) * grid.ny
+    cx = (jnp.arange(nxp, dtype=REAL) + 0.5) * h + grid.origin[0]
+    cy = (jnp.arange(nyp, dtype=REAL) + 0.5 + row0) * h + grid.origin[1]
+    return jnp.stack(
+        [pos[0] - cx[None, None, :], pos[1] - cy[None, :, None]], axis=0
+    )
+
+
 def _pf_block_query(planes: jax.Array, br: int) -> jax.Array:
     """(L, P, NYP, NXP) -> (L, P, nbr, BR, NXP): a pure reshape."""
     l, p, nyp, nxp = planes.shape
@@ -504,6 +532,27 @@ def _pf_source_meta(sm: jax.Array, ncb: int) -> jax.Array:
     )
 
 
+def _pf_chunk_width(grid: DenseGridConfig, nxp: int) -> int:
+    """Resolve `grid.pallas_pf_chunk_lanes` against the padded lane count:
+    None / non-dividing / oversized -> one full-width chunk."""
+    cw = grid.pallas_pf_chunk_lanes
+    if cw is None or cw >= nxp or nxp % cw != 0:
+        return nxp
+    assert cw % LANE == 0, f"chunk width {cw} must be a multiple of {LANE}"
+    return cw
+
+
+def _pf_coarsen(cnt: jax.Array, cw: int) -> jax.Array:
+    """Coarsen (nbr, NXP//128) slot bounds to (nbr, NXP//cw) by group max.
+    A group's source coverage is the union of its 128-lane windows
+    [cc*128, cc*128+130), i.e. exactly [c0, c0+cw+2) — the cw-wide window."""
+    k = cw // LANE
+    if k == 1:
+        return cnt
+    nbr, ncb = cnt.shape
+    return jnp.max(cnt.reshape(nbr, ncb // k, k), axis=2)
+
+
 def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
                   grid: DenseGridConfig = None) -> PFGeom:
     """Blocked geometry from plane-form positions (2, P, NYP, NXP) + mask
@@ -511,8 +560,17 @@ def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
     come from the neighbor shards (one ppermute pair per rebuild); pass
     `grid` to `pass_flags` as well so the band skip flags see the seam rows.
     Occupancy metadata (slot-loop bounds + column-chunk flags) is computed
-    from the blocked masks, halo rows included."""
-    planes = jnp.concatenate([pos, mask.astype(REAL)[None]], axis=0)
+    from the blocked masks, halo rows included.
+
+    With `grid.pair_dtype == "bfloat16"` the blocked geometry is stored in
+    bf16 with positions rebased onto their own cell center (see `_pf_rebase`;
+    the mask plane's 0/1 is exact in bf16)."""
+    dtype = _pf_dtype(grid)
+    if dtype != REAL:
+        pos = _pf_rebase(pos, grid)
+    planes = jnp.concatenate(
+        [pos, mask.astype(REAL)[None]], axis=0
+    ).astype(dtype)
     band_any, first_any, last_any = _pf_band_bits(mask, br)
     q_geom = _pf_block_query(planes, br)
     s_geom = _pf_block_source(planes, br, halo=_pf_halo(planes, grid))
@@ -528,16 +586,23 @@ def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
     )
 
 
-def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, radius_sq, *refs):
-    """PF kernel body — occupancy-adaptive: per 128-lane column chunk, the
+def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, cw, radius_sq,
+               rebase_cell, *refs):
+    """PF kernel body — occupancy-adaptive: per `cw`-lane column chunk, the
     query/source slot loops are fori_loops bounded by the CHUNK's live slot
     bounds (SMEM, per (band, chunk)); a chunk dead on either side is skipped
-    outright. Per output element the accumulation order is the fully-unrolled
-    kernel's exact (dyv, dxv, sp) order and every skipped candidate is one
-    the unrolled kernel masked to +0.0, so outputs are BITWISE identical to
-    it (and so to _sm_kernel). refs: flag(SMEM), q_cnt(SMEM (nbr, ncb)),
-    s_cnt(SMEM (nbr, ncb)), *scalars(SMEM), q_geom, s_geom, [q_vals],
-    [s_vals], out."""
+    outright. `cw` tunes skip granularity vs loop-control amortization:
+    cw == nx (one full-width chunk per band) runs every vector op on whole
+    (BR, NXP) planes with per-BAND slot bounds. Per output element the
+    accumulation order is the fully-unrolled kernel's exact (dyv, dxv, sp)
+    order and every skipped candidate is one the unrolled kernel masked to an
+    exact +0.0, so outputs are BITWISE identical to it (and so to _sm_kernel)
+    at EVERY cw. refs: flag(SMEM), q_cnt(SMEM (nbr, nx//cw)), s_cnt(SMEM
+    (nbr, nx//cw)), *scalars(SMEM), q_geom, s_geom, [q_vals], [s_vals], out.
+
+    `rebase_cell` (None in f32 mode, cell_size under bf16 operands) selects
+    cell-relative geometry: operands upcast to f32 at load and dx/dy add the
+    per-view center delta back — all math/accumulation stays f32."""
     i = pl.program_id(0)
     flag = refs[0][i, 0]
     qcnt_ref = refs[1]
@@ -554,42 +619,48 @@ def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, radius_sq, *refs
     # dead bands/chunks/slots must output exact zeros (the unrolled kernel's
     # masked sums); live chunks overwrite below
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    ncb = nx // LANE
+    ncc = nx // cw
 
     @pl.when(flag != 0)
     def _run():
-        for cc in range(ncb):
-            c0 = cc * LANE
+        for cc in range(ncc):
+            c0 = cc * cw
             q_cnt = qcnt_ref[i, cc]
             s_cnt = scnt_ref[i, cc]
 
             @pl.when((q_cnt > 0) & (s_cnt > 0))
             def _chunk(c0=c0, q_cnt=q_cnt, s_cnt=s_cnt):
                 def qp_body(qp, _):
-                    qx = qg[0, qp, 0, :, c0 : c0 + LANE]
-                    qy = qg[1, qp, 0, :, c0 : c0 + LANE]
-                    qm = qg[2, qp, 0, :, c0 : c0 + LANE] > 0.0
+                    qx = qg[0, qp, 0, :, c0 : c0 + cw].astype(REAL)
+                    qy = qg[1, qp, 0, :, c0 : c0 + cw].astype(REAL)
+                    # compare in f32: Mosaic mis-relayouts masks born from
+                    # bf16 (16,128)-tiled compares against f32-born masks
+                    qm = qg[2, qp, 0, :, c0 : c0 + cw].astype(REAL) > 0.0
                     q_planes = tuple(
-                        qv[l, qp, 0, :, c0 : c0 + LANE] for l in range(n_qv)
+                        qv[l, qp, 0, :, c0 : c0 + cw].astype(REAL)
+                        for l in range(n_qv)
                     )
                     accs = tuple(
-                        jnp.zeros((br, LANE), dtype=REAL) for _ in range(n_out)
+                        jnp.zeros((br, cw), dtype=REAL) for _ in range(n_out)
                     )
                     for dyv in range(3):
                         for dxv in range(3):
 
                             def sp_body(sp, accs, dyv=dyv, dxv=dxv):
-                                cols = pl.ds(c0 + dxv, LANE)
+                                cols = pl.ds(c0 + dxv, cw)
                                 rows = pl.ds(dyv, br)
-                                cx = sg[0, sp, 0, rows, cols]
-                                cy = sg[1, sp, 0, rows, cols]
-                                cm = sg[2, sp, 0, rows, cols]
+                                cx = sg[0, sp, 0, rows, cols].astype(REAL)
+                                cy = sg[1, sp, 0, rows, cols].astype(REAL)
+                                cm = sg[2, sp, 0, rows, cols].astype(REAL)
                                 s_planes = tuple(
-                                    sv[l, sp, 0, rows, cols]
+                                    sv[l, sp, 0, rows, cols].astype(REAL)
                                     for l in range(n_sv)
                                 )
                                 dx = cx - qx
                                 dy = cy - qy
+                                if rebase_cell is not None:
+                                    dx = dx + (dxv - 1) * rebase_cell
+                                    dy = dy + (dyv - 1) * rebase_cell
                                 r_sq = dx * dx + dy * dy
                                 valid = (
                                     qm
@@ -610,7 +681,7 @@ def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, radius_sq, *refs
 
                             accs = jax.lax.fori_loop(0, s_cnt, sp_body, accs)
                     for k in range(n_out):
-                        out_ref[k, qp, 0, :, c0 : c0 + LANE] = accs[k]
+                        out_ref[k, qp, 0, :, c0 : c0 + cw] = accs[k]
                     return 0
 
                 jax.lax.fori_loop(0, q_cnt, qp_body, 0)
@@ -641,10 +712,20 @@ def pf_pair_reduce(
     ps = s.s_geom.shape[1]
     nxp = q.q_geom.shape[4]
 
-    qv_b = _pf_block_query(_pf_concat(q_vals), br) if q_vals else None
+    dtype = _pf_dtype(grid)
+    assert q.q_geom.dtype == dtype and s.s_geom.dtype == dtype, (
+        f"geometry dtype {q.q_geom.dtype}/{s.s_geom.dtype} does not match "
+        f"grid.pair_dtype {grid.pair_dtype}: build PFGeom with the same grid"
+    )
+
+    qv_b = (
+        _pf_block_query(_pf_concat(q_vals).astype(dtype), br)
+        if q_vals else None
+    )
     if s_vals:
-        sv_planes = _pf_concat(s_vals)
-        # one ppermute pair per pass for ALL source values (None on one device)
+        sv_planes = _pf_concat(s_vals).astype(dtype)
+        # one ppermute pair per pass for ALL source values (None on one device;
+        # bf16 operands halve the exchanged halo bytes too)
         sv_b = _pf_block_source(sv_planes, br, halo=_pf_halo(sv_planes, grid))
     else:
         sv_b = None
@@ -665,9 +746,13 @@ def pf_pair_reduce(
     flag_spec = smem_spec(flags)
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
-    operands = [flags, q.q_cnt, s.s_cnt] + scalars_2d + [q.q_geom, s.s_geom]
+    cw = _pf_chunk_width(grid, nxp)
+    q_cnt = _pf_coarsen(q.q_cnt, cw)
+    s_cnt = _pf_coarsen(s.s_cnt, cw)
+
+    operands = [flags, q_cnt, s_cnt] + scalars_2d + [q.q_geom, s.s_geom]
     in_specs = (
-        [flag_spec, smem_spec(q.q_cnt), smem_spec(s.s_cnt)]
+        [flag_spec, smem_spec(q_cnt), smem_spec(s_cnt)]
         + [scalar_spec for _ in scalars_2d]
         + [vmem_spec(q.q_geom), vmem_spec(s.s_geom)]
     )
@@ -686,7 +771,7 @@ def pf_pair_reduce(
 
     kernel = functools.partial(
         _pf_kernel, term_fn, len(scalars_2d), n_qv, n_sv, n_out, p, ps, br, nxp,
-        grid.radius_sq,
+        cw, grid.radius_sq, float(grid.cell_size) if dtype != REAL else None,
     )
     out = pl.pallas_call(
         kernel,
@@ -732,35 +817,35 @@ def pf_move_codes(pos: jax.Array, mask: jax.Array, grid: DenseGridConfig,
     return jnp.where(mask, (dy + 1) * 3 + (dx + 1) + 1, 0).astype(REAL)
 
 
-def _pf_rebucket_kernel(n_pay, p, br, nx, *refs):
+def _pf_rebucket_kernel(n_pay, p, br, nx, cw, *refs):
     """PF re-bucket body — occupancy-adaptive candidate scan. refs: flag(SMEM
-    (nbr, 1)), s_cnt(SMEM (nbr, ncb) per-chunk candidate slot bound), src
+    (nbr, 1)), s_cnt(SMEM (nbr, nx//cw) per-chunk candidate slot bound), src
     (1+n_pay, P, 1, BR+2, NXS) with plane 0 = move code, out (n_pay+1, P, 1,
-    BR, NXP). Per live column chunk: one counting scan over the window's live
-    candidate slots yields the incoming-total plane (written at slot 0 —
-    consumers read only slot 0) and the chunk's max incoming count, which
-    bounds the target slot loop; each target slot then rescans candidates in
-    the fully-unrolled kernel's exact (dyv, dxv, sp) order, so payloads land
-    bitwise-identically. Dead chunks / target slots beyond the incoming max
-    keep the pre-written zeros, which is exactly what the unrolled kernel's
-    masked sums produced."""
+    BR, NXP). Per live `cw`-lane column chunk: one counting scan over the
+    window's live candidate slots yields the incoming-total plane (written at
+    slot 0 — consumers read only slot 0) and the chunk's max incoming count,
+    which bounds the target slot loop; each target slot then rescans
+    candidates in the fully-unrolled kernel's exact (dyv, dxv, sp) order, so
+    payloads land bitwise-identically at every cw. Dead chunks / target slots
+    beyond the incoming max keep the pre-written zeros, which is exactly what
+    the unrolled kernel's masked sums produced."""
     flag_ref, cnt_ref, src, out_ref = refs
     i = pl.program_id(0)
     flag = flag_ref[i, 0]
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    ncb = nx // LANE
+    ncc = nx // cw
 
     @pl.when(flag != 0)
     def _run():
-        for cc in range(ncb):
-            c0 = cc * LANE
+        for cc in range(ncc):
+            c0 = cc * cw
             s_cnt = cnt_ref[i, cc]
 
             @pl.when(s_cnt > 0)
             def _chunk(c0=c0, s_cnt=s_cnt):
                 # counting scan: per-cell incoming total for this chunk
-                cnt = jnp.zeros((br, LANE), dtype=REAL)
+                cnt = jnp.zeros((br, cw), dtype=REAL)
                 for dyv in range(3):
                     for dxv in range(3):
                         expected = float((2 - dyv) * 3 + (2 - dxv) + 1)
@@ -768,17 +853,17 @@ def _pf_rebucket_kernel(n_pay, p, br, nx, *refs):
                         def cnt_body(sp, cnt, dyv=dyv, dxv=dxv,
                                      expected=expected):
                             c = src[0, sp, 0, pl.ds(dyv, br),
-                                    pl.ds(c0 + dxv, LANE)]
+                                    pl.ds(c0 + dxv, cw)]
                             return cnt + jnp.where(c == expected, 1.0, 0.0)
 
                         cnt = jax.lax.fori_loop(0, s_cnt, cnt_body, cnt)
-                out_ref[n_pay, 0, 0, :, c0 : c0 + LANE] = cnt
+                out_ref[n_pay, 0, 0, :, c0 : c0 + cw] = cnt
                 qp_max = jnp.minimum(jnp.max(cnt).astype(jnp.int32), p)
 
                 def qp_body(qp, _):
-                    run = jnp.zeros((br, LANE), dtype=REAL)
+                    run = jnp.zeros((br, cw), dtype=REAL)
                     accs = tuple(
-                        jnp.zeros((br, LANE), dtype=REAL)
+                        jnp.zeros((br, cw), dtype=REAL)
                         for _ in range(n_pay)
                     )
                     qp_f = qp.astype(REAL)
@@ -790,7 +875,7 @@ def _pf_rebucket_kernel(n_pay, p, br, nx, *refs):
                                         expected=expected):
                                 run, accs = carry
                                 rows = pl.ds(dyv, br)
-                                cols = pl.ds(c0 + dxv, LANE)
+                                cols = pl.ds(c0 + dxv, cw)
                                 c = src[0, sp, 0, rows, cols]
                                 sel = c == expected
                                 hit = sel & (run == qp_f)
@@ -806,7 +891,7 @@ def _pf_rebucket_kernel(n_pay, p, br, nx, *refs):
                                 0, s_cnt, sp_body, (run, accs)
                             )
                     for k in range(n_pay):
-                        out_ref[k, qp, 0, :, c0 : c0 + LANE] = accs[k]
+                        out_ref[k, qp, 0, :, c0 : c0 + cw] = accs[k]
                     return 0
 
                 jax.lax.fori_loop(0, qp_max, qp_body, 0)
@@ -852,7 +937,8 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
 
     # occupancy meta from the move-code plane (live candidate = code > 0),
     # halo rows included since src is blocked post-exchange
-    s_cnt = _pf_source_meta(src[0] > 0.0, nxp // LANE)
+    cw = _pf_chunk_width(grid, nxp)
+    s_cnt = _pf_coarsen(_pf_source_meta(src[0] > 0.0, nxp // LANE), cw)
 
     def smem_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -867,7 +953,7 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
         memory_space=pltpu.VMEM,
     )
 
-    kernel = functools.partial(_pf_rebucket_kernel, n_pay, p, br, nxp)
+    kernel = functools.partial(_pf_rebucket_kernel, n_pay, p, br, nxp, cw)
     out = pl.pallas_call(
         kernel,
         grid=(nbr,),
