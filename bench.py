@@ -56,7 +56,12 @@ from yasph2d_tpu.timemanager import AdaptiveTimeStep
 from yasph2d_tpu.world import FluidParticleWorld
 
 NORTH_STAR_PARTICLE_STEPS_PER_SEC = 1.0e9
-DEFAULT_PAIR_DTYPE = "float32"  # updated by PERF.md measurements
+# bf16 operand planes measured faster at EVERY size on the plane backend
+# (PERF.md round 4: 10k 2.65 vs 3.00 ms, 100k 9.98 vs 10.68, 1M 47.30 vs
+# 50.33; WCSPH 1M 27.88 vs 28.76) with zero drops and identical iteration
+# counts. Kernel math/accumulation stay f32 (only storage/traffic rounds).
+# The library conformance default remains float32 (DenseGridConfig).
+DEFAULT_PAIR_DTYPE = "bfloat16"
 
 
 def double_dam_break(target_particles: int) -> FluidParticleWorld:
@@ -274,7 +279,9 @@ def bench_baseline_config(name: str, num_steps: int) -> dict:
     high-viscosity (PhysicalViscosityModel mu=0.01, reference main.rs:95-96),
     all on the reference default scene at ~10k particles, run on the FLAGSHIP
     plane-resident backend (the bench default; YASPH_BENCH_CONFIG_BACKEND=padded
-    selects the previous padded-XLA rows for comparison)."""
+    selects the previous padded-XLA rows for comparison). These rows stay in
+    exact f32 (grid default) — they are the conformance entries, unlike the
+    size matrix which runs the measured-best pair_dtype."""
     from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
     from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver
     from yasph2d_tpu.models.wcsph_dense import WCSPHPaddedSolver

@@ -134,6 +134,45 @@ def test_pf_rebucket_bit_equal_to_sm():
     assert int(pf_drops) == int(sm_drops)
 
 
+@pytest.mark.parametrize("chunk", [128, 256, None])
+def test_pf_chunk_widths_bitwise_identical(chunk):
+    """Adaptive-bound chunk decompositions (128-lane, 256-lane with a RAGGED
+    final chunk — nxp=384 — and one full-width band) must produce bitwise
+    identical pair-pass and re-bucket outputs: every chunking runs the same
+    (qp, view, sp) accumulation per output element."""
+    grid, pos, mask = _random_grid(11, ny=9, nx=300, p=3, fill=0.3)
+    rng = np.random.default_rng(12)
+    val = jnp.asarray(rng.random((grid.ny, grid.nx, grid.occupancy), np.float32))
+    pos_pf = to_planes(pos, grid, BR)
+    mask_pf = to_planes(mask, grid, BR).astype(bool)
+    val_pf = to_planes(val, grid, BR)
+    assert pf_dims(grid, BR)[2] == 384  # 3x128: 256 leaves a ragged 128 tail
+
+    def pair(chunk_lanes):
+        pf = pf_build_geom(pos_pf, mask_pf, BR)
+        return pf_pair_reduce(
+            _terms, 3, pf, pf, pass_flags(pf, pf), grid, BR,
+            q_vals=(val_pf,), s_vals=(val_pf,), scalars=(1.7,),
+            chunk_lanes=chunk_lanes,
+        )
+
+    def rebucket(chunk_lanes):
+        disp = (np.random.default_rng(13).random(
+            (grid.ny, grid.nx, grid.occupancy, 2)) - 0.5) * 0.12
+        adv = jnp.where(mask[..., None], pos + disp.astype(np.float32), 0.0)
+        return pf_rebucket(
+            to_planes(adv, grid, BR), mask_pf, val_pf[None], grid, br=BR,
+            chunk_lanes=chunk_lanes,
+        )
+
+    ref_pair, ref_reb = pair(None), rebucket(None)
+    out_pair, out_reb = pair(chunk), rebucket(chunk)
+    np.testing.assert_array_equal(np.asarray(out_pair), np.asarray(ref_pair))
+    for a, b in zip(out_reb[:3], ref_reb[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(out_reb[3]) == int(ref_reb[3])
+
+
 def test_pf_dims_and_roundtrip():
     grid, pos, mask = _random_grid(7)
     nbr, nyp, nxp, nxs = pf_dims(grid, BR)

@@ -46,6 +46,11 @@ def main():
             os.environ.get("YASPH_BENCH_SLOTMAJOR") == "1" or backend == "plane"
         ),
         pallas_sm_row_block=int(os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)),
+        pallas_pf_chunk_lanes=(
+            int(os.environ["YASPH_BENCH_PF_CHUNK"])
+            if os.environ.get("YASPH_BENCH_PF_CHUNK") else None
+        ),
+        pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", "float32"),
     )
     from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver
 

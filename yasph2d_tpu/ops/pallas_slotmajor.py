@@ -532,25 +532,35 @@ def _pf_source_meta(sm: jax.Array, ncb: int) -> jax.Array:
     )
 
 
-def _pf_chunk_width(grid: DenseGridConfig, nxp: int) -> int:
-    """Resolve `grid.pallas_pf_chunk_lanes` against the padded lane count:
-    None / non-dividing / oversized -> one full-width chunk."""
-    cw = grid.pallas_pf_chunk_lanes
-    if cw is None or cw >= nxp or nxp % cw != 0:
-        return nxp
+_CHUNK_FROM_GRID = object()  # sentinel: resolve width from the grid config
+
+
+def _pf_chunks(grid: DenseGridConfig, nxp: int,
+               override=_CHUNK_FROM_GRID) -> tuple:
+    """Resolve the chunk decomposition of the NXP lanes as a static tuple of
+    (start, width) pairs. Width comes from `override` if given, else
+    `grid.pallas_pf_chunk_lanes`; None / oversized -> one full-width chunk.
+    A width that does not divide NXP yields a ragged (narrower) final chunk —
+    every width stays a multiple of 128, so each chunk's vector ops run on
+    whole VREG rows (NXP itself is always a multiple of 128)."""
+    cw = grid.pallas_pf_chunk_lanes if override is _CHUNK_FROM_GRID else override
+    if cw is None or cw >= nxp:
+        return ((0, nxp),)
     assert cw % LANE == 0, f"chunk width {cw} must be a multiple of {LANE}"
-    return cw
+    return tuple((c0, min(cw, nxp - c0)) for c0 in range(0, nxp, cw))
 
 
-def _pf_coarsen(cnt: jax.Array, cw: int) -> jax.Array:
-    """Coarsen (nbr, NXP//128) slot bounds to (nbr, NXP//cw) by group max.
-    A group's source coverage is the union of its 128-lane windows
-    [cc*128, cc*128+130), i.e. exactly [c0, c0+cw+2) — the cw-wide window."""
-    k = cw // LANE
-    if k == 1:
-        return cnt
-    nbr, ncb = cnt.shape
-    return jnp.max(cnt.reshape(nbr, ncb // k, k), axis=2)
+def _pf_coarsen(cnt: jax.Array, chunks: tuple) -> jax.Array:
+    """Coarsen (nbr, NXP//128) slot bounds to (nbr, len(chunks)) by per-chunk
+    group max. A chunk's source coverage is the union of its 128-lane windows
+    [cc*128, cc*128+130), i.e. exactly [c0, c0+w+2) — the chunk-wide window."""
+    if len(chunks) == 1:
+        return jnp.max(cnt, axis=1, keepdims=True)
+    cols = [
+        jnp.max(cnt[:, c0 // LANE : (c0 + w) // LANE], axis=1, keepdims=True)
+        for c0, w in chunks
+    ]
+    return jnp.concatenate(cols, axis=1)
 
 
 def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
@@ -586,19 +596,21 @@ def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
     )
 
 
-def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, cw, radius_sq,
-               rebase_cell, *refs):
-    """PF kernel body — occupancy-adaptive: per `cw`-lane column chunk, the
-    query/source slot loops are fori_loops bounded by the CHUNK's live slot
-    bounds (SMEM, per (band, chunk)); a chunk dead on either side is skipped
-    outright. `cw` tunes skip granularity vs loop-control amortization:
-    cw == nx (one full-width chunk per band) runs every vector op on whole
-    (BR, NXP) planes with per-BAND slot bounds. Per output element the
-    accumulation order is the fully-unrolled kernel's exact (dyv, dxv, sp)
-    order and every skipped candidate is one the unrolled kernel masked to an
-    exact +0.0, so outputs are BITWISE identical to it (and so to _sm_kernel)
-    at EVERY cw. refs: flag(SMEM), q_cnt(SMEM (nbr, nx//cw)), s_cnt(SMEM
-    (nbr, nx//cw)), *scalars(SMEM), q_geom, s_geom, [q_vals], [s_vals], out.
+def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, chunks,
+               radius_sq, rebase_cell, *refs):
+    """PF kernel body — occupancy-adaptive: per column chunk (static
+    (start, width) pairs, see `_pf_chunks`), the query/source slot loops are
+    fori_loops bounded by the CHUNK's live slot bounds (SMEM, per
+    (band, chunk)); a chunk dead on either side is skipped outright. The
+    chunk width tunes skip granularity vs loop-control amortization: one
+    full-width chunk per band runs every vector op on whole (BR, NXP) planes
+    with per-BAND slot bounds. Per output element the accumulation order is
+    the fully-unrolled kernel's exact (dyv, dxv, sp) order and every skipped
+    candidate is one the unrolled kernel masked to an exact +0.0, so outputs
+    are BITWISE identical to it (and so to _sm_kernel) at EVERY chunk
+    decomposition. refs: flag(SMEM), q_cnt(SMEM (nbr, len(chunks))), s_cnt
+    (SMEM (nbr, len(chunks))), *scalars(SMEM), q_geom, s_geom, [q_vals],
+    [s_vals], out.
 
     `rebase_cell` (None in f32 mode, cell_size under bf16 operands) selects
     cell-relative geometry: operands upcast to f32 at load and dx/dy add the
@@ -619,17 +631,15 @@ def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, cw, radius_sq,
     # dead bands/chunks/slots must output exact zeros (the unrolled kernel's
     # masked sums); live chunks overwrite below
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    ncc = nx // cw
 
     @pl.when(flag != 0)
     def _run():
-        for cc in range(ncc):
-            c0 = cc * cw
+        for cc, (c0, cw) in enumerate(chunks):
             q_cnt = qcnt_ref[i, cc]
             s_cnt = scnt_ref[i, cc]
 
             @pl.when((q_cnt > 0) & (s_cnt > 0))
-            def _chunk(c0=c0, q_cnt=q_cnt, s_cnt=s_cnt):
+            def _chunk(c0=c0, cw=cw, q_cnt=q_cnt, s_cnt=s_cnt):
                 def qp_body(qp, _):
                     qx = qg[0, qp, 0, :, c0 : c0 + cw].astype(REAL)
                     qy = qg[1, qp, 0, :, c0 : c0 + cw].astype(REAL)
@@ -699,12 +709,17 @@ def pf_pair_reduce(
     s_vals: Sequence[jax.Array] = (),
     scalars: Sequence = (),
     interpret: bool = None,
+    chunk_lanes=_CHUNK_FROM_GRID,
 ):
     """sm_pair_reduce in plane form: q_vals / s_vals are resident plane arrays
     ((P, NYP, NXP) scalars, (2, P, NYP, NXP) vectors), the result is ONE
     stacked (n_out, P, NYP, NXP) array (a vector output's components are
     adjacent leading planes). Per-pass accumulation order is identical to
-    sm_pair_reduce — outputs are bit-equal to it given equal inputs."""
+    sm_pair_reduce — outputs are bit-equal to it given equal inputs.
+
+    `chunk_lanes` overrides `grid.pallas_pf_chunk_lanes` per call (the best
+    width depends on the pass's accumulator count — see PERF.md round 4);
+    outputs are bitwise-identical at every width."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nbr = q.q_geom.shape[2]
@@ -746,9 +761,9 @@ def pf_pair_reduce(
     flag_spec = smem_spec(flags)
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
-    cw = _pf_chunk_width(grid, nxp)
-    q_cnt = _pf_coarsen(q.q_cnt, cw)
-    s_cnt = _pf_coarsen(s.s_cnt, cw)
+    chunks = _pf_chunks(grid, nxp, override=chunk_lanes)
+    q_cnt = _pf_coarsen(q.q_cnt, chunks)
+    s_cnt = _pf_coarsen(s.s_cnt, chunks)
 
     operands = [flags, q_cnt, s_cnt] + scalars_2d + [q.q_geom, s.s_geom]
     in_specs = (
@@ -771,7 +786,8 @@ def pf_pair_reduce(
 
     kernel = functools.partial(
         _pf_kernel, term_fn, len(scalars_2d), n_qv, n_sv, n_out, p, ps, br, nxp,
-        cw, grid.radius_sq, float(grid.cell_size) if dtype != REAL else None,
+        chunks, grid.radius_sq,
+        float(grid.cell_size) if dtype != REAL else None,
     )
     out = pl.pallas_call(
         kernel,
@@ -817,9 +833,9 @@ def pf_move_codes(pos: jax.Array, mask: jax.Array, grid: DenseGridConfig,
     return jnp.where(mask, (dy + 1) * 3 + (dx + 1) + 1, 0).astype(REAL)
 
 
-def _pf_rebucket_kernel(n_pay, p, br, nx, cw, *refs):
+def _pf_rebucket_kernel(n_pay, p, br, nx, chunks, *refs):
     """PF re-bucket body — occupancy-adaptive candidate scan. refs: flag(SMEM
-    (nbr, 1)), s_cnt(SMEM (nbr, nx//cw) per-chunk candidate slot bound), src
+    (nbr, 1)), s_cnt(SMEM (nbr, len(chunks)) per-chunk candidate slot bound), src
     (1+n_pay, P, 1, BR+2, NXS) with plane 0 = move code, out (n_pay+1, P, 1,
     BR, NXP). Per live `cw`-lane column chunk: one counting scan over the
     window's live candidate slots yields the incoming-total plane (written at
@@ -834,16 +850,14 @@ def _pf_rebucket_kernel(n_pay, p, br, nx, cw, *refs):
     flag = flag_ref[i, 0]
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    ncc = nx // cw
 
     @pl.when(flag != 0)
     def _run():
-        for cc in range(ncc):
-            c0 = cc * cw
+        for cc, (c0, cw) in enumerate(chunks):
             s_cnt = cnt_ref[i, cc]
 
             @pl.when(s_cnt > 0)
-            def _chunk(c0=c0, s_cnt=s_cnt):
+            def _chunk(c0=c0, cw=cw, s_cnt=s_cnt):
                 # counting scan: per-cell incoming total for this chunk
                 cnt = jnp.zeros((br, cw), dtype=REAL)
                 for dyv in range(3):
@@ -898,7 +912,8 @@ def _pf_rebucket_kernel(n_pay, p, br, nx, cw, *refs):
 
 
 def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
-                interpret: bool = None, row0=None):
+                interpret: bool = None, row0=None,
+                chunk_lanes=_CHUNK_FROM_GRID):
     """sm_rebucket in plane form. pos (2, P, NYP, NXP), mask (P, NYP, NXP),
     values (D, P, NYP, NXP). Returns (new_pos, new_mask, new_values,
     num_dropped) in the same plane layout — no transposes anywhere.
@@ -937,8 +952,8 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
 
     # occupancy meta from the move-code plane (live candidate = code > 0),
     # halo rows included since src is blocked post-exchange
-    cw = _pf_chunk_width(grid, nxp)
-    s_cnt = _pf_coarsen(_pf_source_meta(src[0] > 0.0, nxp // LANE), cw)
+    chunks = _pf_chunks(grid, nxp, override=chunk_lanes)
+    s_cnt = _pf_coarsen(_pf_source_meta(src[0] > 0.0, nxp // LANE), chunks)
 
     def smem_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -953,7 +968,7 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
         memory_space=pltpu.VMEM,
     )
 
-    kernel = functools.partial(_pf_rebucket_kernel, n_pay, p, br, nxp, cw)
+    kernel = functools.partial(_pf_rebucket_kernel, n_pay, p, br, nxp, chunks)
     out = pl.pallas_call(
         kernel,
         grid=(nbr,),
