@@ -28,6 +28,10 @@ Env knobs:
   YASPH_BENCH_SM_ROW_BLOCK  slot-major band height (default 8)
   YASPH_BENCH_PF_CHUNK   pf-kernel adaptive-bound chunk width in lanes
                          (unset = full-width bands; 128 = finest skipping)
+  YASPH_BENCH_PF_STAT_CHUNK  chunk width for the fluid-BOUNDARY passes only
+                         (interior chunks hold no boundary sources and are
+                         skipped outright; default 128 = measured optimum,
+                         -1 = inherit PF_CHUNK)
   YASPH_BENCH_REBUILD_EVERY  k-step neighbor rebuild (default 1 = conformance;
                              k>1 is the opt-in Verlet-style mode, see PERF.md)
 """
@@ -136,6 +140,14 @@ def bench_one(target: int, num_steps: int, backend: str,
             pallas_pf_chunk_lanes=(
                 int(os.environ["YASPH_BENCH_PF_CHUNK"])
                 if os.environ.get("YASPH_BENCH_PF_CHUNK") else None
+            ),
+            # boundary-pass-specific chunk width (interior columns hold no
+            # boundary sources -> finer chunks skip them outright). 128 is the
+            # measured optimum at 1M (45.64 vs 47.25 ms full-width; 256/512 in
+            # between — PERF.md round-4 sweep) and default; "-1" inherits
+            # PF_CHUNK (full-width bands when that is unset).
+            pallas_pf_stat_chunk_lanes=int(
+                os.environ.get("YASPH_BENCH_PF_STAT_CHUNK", 128)
             ),
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
             pair_view_loop=os.environ.get("YASPH_BENCH_VIEW_LOOP") == "1",

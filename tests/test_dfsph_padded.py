@@ -76,7 +76,7 @@ def test_padded_rebuild_every_stale_steps():
     padded3 = dataclasses.replace(padded1, rebuild_every=3)
     boundary = world.boundary_dense(grid)
 
-    def run(solver, steps=60):
+    def run(solver, steps=40):
         c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
         c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, steps)
         s = solver.export_state(c)
@@ -109,7 +109,7 @@ def test_padded_conserves_particles_long_run():
     c = jax.jit(padded.init_carry)(world.initial_state(), boundary)
     n0 = int(np.asarray(c.ctx.mask).sum())
     assert n0 == world.num_dynamic_particles
-    c, d = jax.jit(padded.simulate, static_argnums=2)(c, boundary, 150)
+    c, d = jax.jit(padded.simulate, static_argnums=2)(c, boundary, 80)
     assert int(d.neighbor_drops) == 0
     assert int(np.asarray(c.ctx.mask).sum()) == n0
     s = padded.export_state(c)
@@ -126,7 +126,7 @@ def test_auto_occupancy_handles_denser_packing():
     neighbors immediately. Zero drops without any hand tuning."""
     from yasph2d_tpu.world import FluidParticleWorld
 
-    world = FluidParticleWorld(3.0, 1600.0, 100.0)  # larger cells: denser packing
+    world = FluidParticleWorld(3.0, 900.0, 100.0)  # larger cells: denser packing
     world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
     world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 4)
     world.add_boundary_thick_line((0.0, 0.0), (0.0, 2.5), 4)
@@ -147,7 +147,7 @@ def test_auto_occupancy_handles_denser_packing():
     )
     boundary = world.boundary_dense(grid)
     c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
-    c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 100)
+    c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 50)
     assert int(d.neighbor_drops) == 0
     assert int(np.asarray(c.ctx.mask).sum()) == world.num_dynamic_particles
 
@@ -162,7 +162,9 @@ def test_physical_viscosity_damps_kinetic_energy():
     from yasph2d_tpu.world import FluidParticleWorld
 
     def run(mu):
-        world = small_dam_break(particle_density=1600.0)
+        # density/horizon sized for suite wall clock; the 500x mu contrast
+        # is far above f32 jitter at this scale too (round-4 item 8)
+        world = small_dam_break(particle_density=900.0)
         h = world.properties.smoothing_length
         grid = world.dense_grid(occupancy=12)
         solver = DFSPHPaddedSolver(
@@ -174,7 +176,7 @@ def test_physical_viscosity_damps_kinetic_energy():
         )
         boundary = world.boundary_dense(grid)
         c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
-        c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 120)
+        c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 80)
         assert int(d.neighbor_drops) == 0
         s = solver.export_state(c)
         alive = np.asarray(s.alive)
@@ -183,9 +185,11 @@ def test_physical_viscosity_damps_kinetic_energy():
         return float((vel ** 2).sum())
 
     ke_thin = run(0.001)
-    ke_thick = run(0.5)  # strong contrast: measured -24% KE (mu=0.01, the
-    # reference's high-viscosity config, damps only ~2% over this horizon —
-    # too weak to assert against f32 jitter; monotonicity is pinned instead)
+    # contrast calibrated to the trimmed scene (density 900, 80 steps):
+    # mu=1.0 damps 11%, mu=2.0 14.6%, mu=4.0 18.5% (measured) — mu=0.01, the
+    # reference's high-viscosity config, damps only ~2% over this horizon,
+    # too weak to assert against f32 jitter; monotonicity is pinned instead
+    ke_thick = run(4.0)
     assert ke_thick < 0.85 * ke_thin, (ke_thick, ke_thin)
 
 

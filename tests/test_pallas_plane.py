@@ -99,6 +99,35 @@ def test_pf_pair_reduce_vector_vals_and_distinct_spaces():
     )
 
 
+def test_pf_chunked_sparse_source_bitwise():
+    """The boundary-pass shape — DISTINCT query/source geometries where the
+    source occupies only a few columns — with a 128-lane chunk override (what
+    `DenseGridConfig.pallas_pf_stat_chunk_lanes` routes in the plane solvers).
+    Source-dead chunks are skipped via the SOURCE geom's bounds; outputs must
+    stay bitwise identical to the full-width pass. Wide grid (nxp=384) so the
+    decomposition is real; thin (ny=4, p=2) so interpret mode stays cheap."""
+    grid, pos, mask = _random_grid(21, ny=4, nx=300, p=2, fill=0.4)
+    _, spos, smask = _random_grid(22, ny=4, nx=300, p=2, fill=1.0)
+    # confine the source to two column stripes (like a tank's side walls)
+    cols = (np.arange(grid.nx)[None, :, None] < 6) | (
+        np.arange(grid.nx)[None, :, None] >= grid.nx - 6
+    )
+    smask = smask & jnp.asarray(cols)
+    spos = jnp.where(smask[..., None], spos, 0.0)
+
+    def terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+        return (1.0 / (r_sq + 0.01), dx + dy,)
+
+    pfq = pf_build_geom(to_planes(pos, grid, BR), to_planes(mask, grid, BR).astype(bool), BR)
+    pfs = pf_build_geom(to_planes(spos, grid, BR), to_planes(smask, grid, BR).astype(bool), BR)
+    flags = pass_flags(pfq, pfs)
+    full = pf_pair_reduce(terms, 2, pfq, pfs, flags, grid, BR)
+    chunked = pf_pair_reduce(terms, 2, pfq, pfs, flags, grid, BR, chunk_lanes=128)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(full))
+    # sanity: the pass actually produced nonzero output near the stripes
+    assert float(jnp.abs(full[0]).sum()) > 0.0
+
+
 def test_pf_rebucket_bit_equal_to_sm():
     grid, pos, mask = _random_grid(5, fill=0.4)
     rng = np.random.default_rng(6)

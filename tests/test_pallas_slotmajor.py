@@ -33,7 +33,11 @@ from yasph2d_tpu.timemanager import FixedTimeStep
 from test_wcsph import small_dam_break
 
 
-def setup(n=400, seed=0, ny=20, nx=10, occupancy=8):
+def setup(n=200, seed=0, ny=12, nx=8, occupancy=6):
+    # sized for interpret-mode cost (the suite's wall clock, round-4 item 8):
+    # conformance vs the XLA pair_reduce is input-shape-agnostic, and slot
+    # overflow in pad_to_slots (possible at this density) is harmless here —
+    # both paths consume the SAME post-padding state.
     h = 0.3
     grid = DenseGridConfig(
         cell_size=h, origin=(0.0, 0.0), nx=nx, ny=ny, occupancy=occupancy,
@@ -109,7 +113,7 @@ def test_sm_values_scalars_and_uneven_bands():
         div = ((q[0] - s[0]) * dx + (q[1] - s[1]) * dy) * gc
         return (div * scalars[0] + s[2],)
 
-    br = 7  # 20 / 7 -> uneven final band
+    br = 7  # 12 / 7 -> uneven final band
     sm = build_geom(pp, mask, br)
     (out,) = sm_pair_reduce(
         sm_fn, 1, sm, sm, pass_flags(sm, sm), grid, br,
@@ -123,8 +127,8 @@ def test_sm_band_skip_flags_zero_empty_bands():
     """Bands whose source window is empty are skipped and must emit zeros;
     occupied bands bordering empty ones still see their one-row halo."""
     grid, pp, mask, vp, kernel = setup()
-    # empty out the top half of the domain: rows >= 10 hold no particles
-    keep = jnp.arange(grid.ny)[:, None, None] < 10
+    # empty out the top half of the domain: rows >= 6 hold no particles
+    keep = jnp.arange(grid.ny)[:, None, None] < 6
     mask = mask & keep
     pp = jnp.where(mask[..., None], pp, 0.0)
 
@@ -142,7 +146,7 @@ def test_sm_band_skip_flags_zero_empty_bands():
         1, sm, sm, flags, grid, br, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(ref), cnt, rtol=0, atol=0)
-    assert np.all(cnt[10:] == 0.0)
+    assert np.all(cnt[6:] == 0.0)
 
 
 def test_sm_matches_xla_wcsph_forces():
@@ -197,7 +201,7 @@ def test_sm_matches_xla_wcsph_forces():
     )
 
 
-@pytest.mark.parametrize("br", [4, 7])  # 20 % 7 != 0: uneven final band
+@pytest.mark.parametrize("br", [4, 7])  # 12 % 7 != 0: uneven final band
 def test_sm_rebucket_matches_xla_exactly(br):
     """sm_rebucket vs dense_grid.rebucket: positions, values, mask, and drop
     count must be BIT-EXACT (both paths pass payload through unmodified and
@@ -208,7 +212,7 @@ def test_sm_rebucket_matches_xla_exactly(br):
     rng = np.random.default_rng(7)
     # advect by < one cell (the CFL contract) so every move stays in the 3x3
     # window; also empty the top rows so band skipping engages
-    keep = jnp.arange(grid.ny)[:, None, None] < 14
+    keep = jnp.arange(grid.ny)[:, None, None] < 7
     mask = mask & keep
     delta = jnp.asarray(
         rng.uniform(-0.9, 0.9, pp.shape).astype(np.float32) * grid.cell_size

@@ -140,6 +140,13 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
             gy = mgc * dy
             return (w, gx, gy, gx * gx + gy * gy, jnp.ones_like(r_sq))
 
+        # boundary-source pass: finer chunks skip the (source-empty) interior
+        # columns that the side walls would otherwise force full-width
+        # (dense_grid.pallas_pf_stat_chunk_lanes; -1 inherits the grid width)
+        kw = (
+            {} if g.pallas_pf_stat_chunk_lanes == -1
+            else {"chunk_lanes": g.pallas_pf_stat_chunk_lanes}
+        )
         with jax.named_scope("FluidParticleWorld.update_densities+alpha"):
             geom = pf_build_geom(pos, mask, self._br, grid=g)
             flags_dyn = pass_flags(geom, geom, g)
@@ -148,7 +155,7 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
             )
             stat = pf_pair_reduce(
                 ctx_terms, 5, geom, boundary.geom,
-                pass_flags(geom, boundary.geom, g), g, self._br,
+                pass_flags(geom, boundary.geom, g), g, self._br, **kw
             )
 
         zero = jnp.zeros((), dtype=REAL)

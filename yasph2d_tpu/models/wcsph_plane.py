@@ -164,9 +164,15 @@ class WCSPHPlaneSolver(WCSPHPaddedSolver):
                 c = -self.boundary_force_factor * w_b / r_sq
                 return (self.density_kernel.evaluate(r_sq, r), c * dx, c * dy)
 
+            # boundary-source pass: finer chunks skip source-empty interior
+            # columns (see dense_grid.pallas_pf_stat_chunk_lanes)
+            stat_kw = (
+                {} if g.pallas_pf_stat_chunk_lanes == -1
+                else {"chunk_lanes": g.pallas_pf_stat_chunk_lanes}
+            )
             stat = pf_pair_reduce(
                 stat_terms, 3, geom, boundary.geom,
-                pass_flags(geom, boundary.geom, g), g, self._br,
+                pass_flags(geom, boundary.geom, g), g, self._br, **stat_kw,
             )
         zero = jnp.zeros((), dtype=REAL)
         dens = m * (self.density_kernel.evaluate(zero, zero) + dyn_w + stat[0])

@@ -93,6 +93,15 @@ class DenseGridConfig:
     # one full-width chunk per band (per-BAND slot bounds, every vector op on
     # whole (BR, NXP) planes). Outputs are bitwise-identical at every width.
     pallas_pf_chunk_lanes: Optional[int] = None
+    # Chunk width for the fluid-BOUNDARY (stat) pair passes only. The boundary
+    # is a thin shell but its side walls flag every band, so a full-width stat
+    # pass runs the whole grid width per band while almost all interior column
+    # chunks contain no boundary source at all — finer chunks skip them
+    # outright (the skip-if-dead-on-either-side test in _pf_kernel), and the
+    # ILP cost of narrow chunks is irrelevant when the surviving work is a few
+    # edge chunks per band. Measured PERF.md round 4. Sentinel -1 = inherit
+    # pallas_pf_chunk_lanes.
+    pallas_pf_stat_chunk_lanes: Optional[int] = -1
     # Dtype of the per-pair math inside pair_reduce: "float32" (exact, default) or
     # "bfloat16" (fast path). bfloat16 uses CELL-RELATIVE coordinates: positions are
     # rebased onto their own cell center (magnitude <= h/2, so pair differences

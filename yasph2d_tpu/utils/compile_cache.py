@@ -14,7 +14,11 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 def enable(cache_dir: str = None) -> None:
     import jax
 
-    cache_dir = cache_dir or os.path.abspath(_DEFAULT_DIR)
+    # YASPH_CACHE_DIR overrides the default location; tools/sweep_occupancy.py
+    # points it at a throwaway dir per configuration to measure COLD compile walls.
+    cache_dir = cache_dir or os.environ.get("YASPH_CACHE_DIR") or os.path.abspath(
+        _DEFAULT_DIR
+    )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
