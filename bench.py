@@ -172,6 +172,16 @@ def bench_one(target: int, num_steps: int, backend: str,
                 from yasph2d_tpu.models.dfsph_plane import (
                     DFSPHPlaneSolver as cls,
                 )
+
+                # kernel post-map fusion switches (PERF.md round-4 sweep)
+                solver_kwargs.update(
+                    fuse_loop_elementwise=(
+                        os.environ.get("YASPH_BENCH_FUSE_LOOPS", "1") == "1"
+                    ),
+                    fuse_ctx_elementwise=(
+                        os.environ.get("YASPH_BENCH_FUSE_CTX", "1") == "1"
+                    ),
+                )
             else:
                 cls = (
                     DFSPHPaddedSolver if backend == "padded"

@@ -128,6 +128,65 @@ def test_pf_chunked_sparse_source_bitwise():
     assert float(jnp.abs(full[0]).sum()) > 0.0
 
 
+def test_plane_fused_loop_glue_matches_unfused():
+    """fuse_loop_elementwise folds the pressure loops' elementwise glue
+    (boundary-divergence add, error/stiffness maps, velocity updates) into
+    the pair kernels as post-maps. Live-slot trajectories, iteration counts,
+    and diagnostics must be BIT-IDENTICAL to the unfused formulation — the
+    post-map computes the same f32 ops in the same order; only dead-slot
+    velocity planes (masked everywhere) may differ."""
+    import dataclasses as dc
+
+    from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver
+    from yasph2d_tpu.models.viscosity import XSPHViscosityModel
+    from yasph2d_tpu.timemanager import FixedTimeStep
+    from yasph2d_tpu.world import FluidParticleWorld
+
+    world = FluidParticleWorld(1.0, 60.0, 100.0)
+    world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
+    world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 2)
+    grid = dc.replace(
+        world.dense_grid(occupancy=3),
+        use_pallas_slotmajor=True, pallas_sm_row_block=4,
+    )
+
+    def run(fused):
+        solver = DFSPHPlaneSolver(
+            viscosity_model=XSPHViscosityModel(
+                smoothing_length=world.properties.smoothing_length
+            ),
+            properties=world.properties, grid=grid,
+            step_config=FixedTimeStep(1.0 / 3000.0),
+            fuse_loop_elementwise=fused,
+            fuse_ctx_elementwise=fused,
+        )
+        boundary = solver.boundary_planes(world.boundary_dense(grid))
+        c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
+        c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 6)
+        return solver.export_state(c), d
+
+    s_f, d_f = run(True)
+    s_u, d_u = run(False)
+    alive_f, alive_u = np.asarray(s_f.alive), np.asarray(s_u.alive)
+    np.testing.assert_array_equal(alive_f, alive_u)
+    assert alive_f.sum() == world.num_dynamic_particles
+    # warmstart (prev_iterations > 1) must have been exercised or the test
+    # would not cover the fused warmstart kernel
+    assert int(d_f.density_iterations) > 6 or int(d_f.divergence_iterations) > 6
+    for field in ("density_iterations", "divergence_iterations",
+                  "neighbor_drops"):
+        assert int(getattr(d_f, field)) == int(getattr(d_u, field)), field
+    np.testing.assert_array_equal(
+        np.asarray(s_f.positions)[alive_f], np.asarray(s_u.positions)[alive_u]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_f.velocities)[alive_f], np.asarray(s_u.velocities)[alive_u]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_f.densities)[alive_f], np.asarray(s_u.densities)[alive_u]
+    )
+
+
 def test_pf_rebucket_bit_equal_to_sm():
     grid, pos, mask = _random_grid(5, fill=0.4)
     rng = np.random.default_rng(6)

@@ -99,6 +99,22 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
     """DFSPH, plane-resident slot-major carry. Requires
     grid.use_pallas_slotmajor=True (single device)."""
 
+    # Fold the pressure loops' elementwise glue (boundary-divergence add,
+    # density-error / stiffness maps, velocity updates, gravity) into the pair
+    # kernels as a post-map (pf_pair_reduce post_fn): the glue then runs only
+    # on LIVE bands instead of as full-plane XLA fusions over the ~10x-larger
+    # slot space. Live-slot results are bit-identical to the unfused
+    # formulation (same f32 ops in the same order; pinned by
+    # tests/test_pallas_plane.py::test_plane_fused_loop_glue_matches_unfused);
+    # dead-slot velocity planes differ (zeros vs stale masked values), which
+    # nothing consumes. Measured PERF.md round 4.
+    fuse_loop_elementwise: bool = True
+    # Same idea for the per-rebuild ctx assembly (density/alpha maps fused
+    # into the dynamic ctx pass with the stat outputs as post planes).
+    # Separate switch: its cost profile differs (5 extra f32 input planes
+    # DMA'd per band + a stat->dyn kernel dependency) — see PERF.md round 4.
+    fuse_ctx_elementwise: bool = True
+
     # pf kernels support bf16 operand planes (ops/pallas_slotmajor._pf_dtype)
     _pf_bf16_ok = True
 
@@ -107,6 +123,13 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
         assert self.grid.use_pallas_slotmajor, (
             "DFSPHPlaneSolver is the plane-resident slot-major path; set "
             "DenseGridConfig.use_pallas_slotmajor=True"
+        )
+        # W(0): the density self-contribution, needed as a PYTHON float by the
+        # fused ctx post-map (kernel closures can't trace; computed here, at
+        # construction time, outside any jit/shard_map trace)
+        object.__setattr__(
+            self, "_w0_self",
+            float(self.kernel.evaluate(jnp.zeros((), REAL), jnp.zeros((), REAL))),
         )
 
     @property
@@ -150,21 +173,51 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
         with jax.named_scope("FluidParticleWorld.update_densities+alpha"):
             geom = pf_build_geom(pos, mask, self._br, grid=g)
             flags_dyn = pass_flags(geom, geom, g)
-            dyn = pf_pair_reduce(
-                ctx_terms, 5, geom, geom, flags_dyn, g, self._br
-            )
             stat = pf_pair_reduce(
                 ctx_terms, 5, geom, boundary.geom,
                 pass_flags(geom, boundary.geom, g), g, self._br, **kw
             )
+            if self.fuse_ctx_elementwise:
+                # density/alpha assembly fused into the DYNAMIC pass's
+                # post-map (its flags cover every live fluid band; the stat
+                # outputs ride as post planes, zero where no boundary is
+                # near — exactly the value the XLA assembly reads there).
+                # Live-slot outputs are bit-identical to the unfused branch.
+                w0 = self._w0_self
+                rho0 = float(self.properties.fluid_density)
+                eps = float(ALPHA_EPSILON)
 
-        zero = jnp.zeros((), dtype=REAL)
-        dens = m * (self.kernel.evaluate(zero, zero) + dyn[0] + stat[0])
-        dens = jnp.maximum(dens, jnp.asarray(self.properties.fluid_density, REAL))
+                def ctx_post(accs, post_planes, scalars):
+                    d0, d1, d2, d3, d4 = accs
+                    s0, s1, s2, s3, s4 = post_planes
+                    dens_t = m * ((w0 + d0) + s0)
+                    dens_t = jnp.maximum(dens_t, rho0)
+                    vx = d1 + s1
+                    vy = d2 + s2
+                    denom = ((vx * vx) + (vy * vy)) + d3 + s3
+                    return (dens_t, 1.0 / jnp.maximum(denom, eps), d4 + s4)
 
-        vec = dyn[1:3] + stat[1:3]  # (2, P, NYP, NXP)
-        denom = jnp.sum(vec * vec, axis=0) + dyn[3] + stat[3]
-        alpha = 1.0 / jnp.maximum(denom, jnp.asarray(ALPHA_EPSILON, REAL))
+                fused = pf_pair_reduce(
+                    ctx_terms, 3, geom, geom, flags_dyn, g, self._br,
+                    post_fn=ctx_post, n_acc=5,
+                    post_planes=(stat[0], stat[1], stat[2], stat[3], stat[4]),
+                )
+                dens, alpha, neighbor_total = fused[0], fused[1], fused[2]
+            else:
+                dyn = pf_pair_reduce(
+                    ctx_terms, 5, geom, geom, flags_dyn, g, self._br
+                )
+                zero = jnp.zeros((), dtype=REAL)
+                dens = m * (self.kernel.evaluate(zero, zero) + dyn[0] + stat[0])
+                dens = jnp.maximum(
+                    dens, jnp.asarray(self.properties.fluid_density, REAL)
+                )
+                vec = dyn[1:3] + stat[1:3]  # (2, P, NYP, NXP)
+                denom = jnp.sum(vec * vec, axis=0) + dyn[3] + stat[3]
+                alpha = 1.0 / jnp.maximum(
+                    denom, jnp.asarray(ALPHA_EPSILON, REAL)
+                )
+                neighbor_total = dyn[4] + stat[4]
 
         return PlaneCtx(
             geom=geom,
@@ -172,7 +225,7 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
             pos=pos,
             mask=mask,
             sum_grad_stat=stat[1:3] / m,
-            neighbor_total=dyn[4] + stat[4],
+            neighbor_total=neighbor_total,
             densities=dens,
             alpha=alpha,
             num_dropped=dropped,
@@ -230,6 +283,115 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
             self.grid, self._br, q_vals=(v,), s_vals=(v, rho), scalars=(dt,),
         )
 
+    def _viscosity_gravity_pf(self, ctx: PlaneCtx, v, rho, dt):
+        """Viscous acceleration + gravity in one kernel (post-map adds the
+        constant gravity vector, matching `visc + gvec` bitwise on live
+        slots; dead bands emit zero acceleration, which nothing consumes —
+        see fuse_loop_elementwise)."""
+        m = self.properties.particle_mass
+        gx, gy = float(self.gravity[0]), float(self.gravity[1])
+
+        def visc_terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+            c = self.viscosity_model.viscous_coefficient(
+                scalars[0], r_sq, r, m, s_planes[2]
+            )
+            return (
+                c * (s_planes[0] - q_planes[0]),
+                c * (s_planes[1] - q_planes[1]),
+            )
+
+        def post(accs, post_planes, scalars):
+            return (accs[0] + gx, accs[1] + gy)
+
+        return pf_pair_reduce(
+            visc_terms, 2, ctx.geom, ctx.geom, ctx.flags_dyn,
+            self.grid, self._br, q_vals=(v,), s_vals=(v, rho), scalars=(dt,),
+            post_fn=post,
+        )
+
+    # ----------------------------------------------- fused loop passes
+    # (fuse_loop_elementwise: the loops' elementwise glue as kernel post-maps;
+    # live-slot outputs bit-identical to the unfused formulation above)
+
+    def _div_terms(self):
+        def div_terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+            gc = self.kernel.gradient_coefficient(r_sq, r)
+            return (
+                ((q_planes[0] - s_planes[0]) * dx
+                 + (q_planes[1] - s_planes[1]) * dy) * gc,
+            )
+
+        return div_terms
+
+    def _density_err_ki_pf(self, ctx: PlaneCtx, v, dens, alpha, dt):
+        """One kernel: velocity divergence (dyn accumulation) -> post-map
+        [boundary term add, rho* clamp, error, k_i = err*alpha]. Returns
+        (err, ki) planes — the unfused `_velocity_divergence_pf` + the XLA
+        err/ki maps, elementwise-identical on live slots (dfsph.rs:99-126,
+        128-161)."""
+        m = float(self.properties.particle_mass)
+        rho0 = float(self.properties.fluid_density)
+
+        def post(accs, post_planes, scalars):
+            vx, vy, sgx, sgy, dens_p, alpha_p = post_planes
+            delta = accs[0] + (vx * sgx + vy * sgy)
+            err = jnp.maximum(dens_p + delta * m * scalars[0], rho0) - rho0
+            return (err, err * alpha_p)
+
+        out = pf_pair_reduce(
+            self._div_terms(), 2, ctx.geom, ctx.geom, ctx.flags_dyn,
+            self.grid, self._br, q_vals=(v,), s_vals=(v,), scalars=(dt,),
+            post_fn=post, n_acc=1,
+            post_planes=(v, ctx.sum_grad_stat, dens, alpha),
+        )
+        return out[0], out[1]
+
+    def _divergence_delta_ki_pf(self, ctx: PlaneCtx, v):
+        """One kernel: velocity divergence -> post-map [boundary add, *m,
+        clamp >= 0, <9-neighbor deficiency guard, k_i = delta*alpha]
+        (dfsph.rs:249-280). Returns (delta, ki) planes."""
+        m = float(self.properties.particle_mass)
+
+        def post(accs, post_planes, scalars):
+            vx, vy, sgx, sgy, nt, alpha_p = post_planes
+            delta = (accs[0] + (vx * sgx + vy * sgy)) * m
+            delta = jnp.maximum(delta, 0.0)
+            # particle-deficiency guard (<9 total neighbors, dfsph.rs:260-264)
+            delta = jnp.where(nt < 9, 0.0, delta)
+            return (delta, delta * alpha_p)
+
+        out = pf_pair_reduce(
+            self._div_terms(), 2, ctx.geom, ctx.geom, ctx.flags_dyn,
+            self.grid, self._br, q_vals=(v,), s_vals=(v,),
+            post_fn=post, n_acc=1,
+            post_planes=(v, ctx.sum_grad_stat, ctx.neighbor_total, ctx.alpha),
+        )
+        return out[0], out[1]
+
+    def _apply_correction_pf(self, ctx: PlaneCtx, k, v, scale):
+        """One kernel: k-correction (dyn accumulation) -> post-map
+        [boundary term add, v - scale * correction] (dfsph.rs:128-161).
+        Returns the updated velocity planes directly."""
+
+        def corr_terms(dx, dy, r_sq, r, scalars, q_planes, s_planes):
+            kk = (q_planes[0] + s_planes[0]) * self.kernel.gradient_coefficient(
+                r_sq, r
+            )
+            return (kk * dx, kk * dy)
+
+        def post(accs, post_planes, scalars):
+            vx, vy, kp, sgx, sgy = post_planes
+            s = scalars[0]
+            return (vx - s * (accs[0] + kp * sgx),
+                    vy - s * (accs[1] + kp * sgy))
+
+        return pf_pair_reduce(
+            corr_terms, 2, ctx.geom, ctx.geom, ctx.flags_dyn,
+            self.grid, self._br, q_vals=(k,), s_vals=(k,), scalars=(scale,),
+            post_fn=post, n_acc=2,
+            post_planes=(v, k, ctx.sum_grad_stat),
+        )
+
     # ------------------------------------------------------------- reductions
 
     def _mean_live_pf(self, value, ctx: PlaneCtx, n_particles):
@@ -249,8 +411,12 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
         inv_dt = 1.0 / dt
         tol = jnp.asarray(self.max_avg_density_error, dtype=REAL)
 
+        fused = self.fuse_loop_elementwise
+
         def warmstart(vv):
             k = 0.5 * jnp.maximum(kappa, -0.5 * rho0 * rho0)
+            if fused:
+                return self._apply_correction_pf(ctx, k, vv, inv_dt * m)
             return vv - inv_dt * m * self._k_correction_pf(ctx, k)
 
         v = jax.lax.cond(prev_iterations > 1, warmstart, lambda vv: vv, v)
@@ -258,11 +424,17 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
 
         def body(state):
             vv, k_sum, num, _avg = state
-            delta = self._velocity_divergence_pf(ctx, vv)
-            err = jnp.maximum(dens + delta * m * dt, rho0) - rho0
-            ki = err * alpha
+            if fused:
+                err, ki = self._density_err_ki_pf(ctx, vv, dens, alpha, dt)
+            else:
+                delta = self._velocity_divergence_pf(ctx, vv)
+                err = jnp.maximum(dens + delta * m * dt, rho0) - rho0
+                ki = err * alpha
             k_sum = k_sum + ki
-            vv = vv - inv_dt * m * self._k_correction_pf(ctx, ki)
+            if fused:
+                vv = self._apply_correction_pf(ctx, ki, vv, inv_dt * m)
+            else:
+                vv = vv - inv_dt * m * self._k_correction_pf(ctx, ki)
             avg = self._mean_live_pf(err, ctx, n_particles)
             return vv, k_sum, num + 1, avg
 
@@ -282,8 +454,12 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
         m = jnp.asarray(self.properties.particle_mass, dtype=REAL)
         tol = jnp.asarray(self.max_divergence_error, dtype=REAL)
 
+        fused = self.fuse_loop_elementwise
+
         def warmstart(vv):
             s = 0.5 * jnp.maximum(stiff, -0.5 * rho0 * rho0)
+            if fused:
+                return self._apply_correction_pf(ctx, s, vv, m)
             return vv - m * self._k_correction_pf(ctx, s)
 
         v = jax.lax.cond(prev_iterations > 1, warmstart, lambda vv: vv, v)
@@ -291,13 +467,19 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
 
         def body(state):
             vv, s_sum, num, _avg = state
-            delta = self._velocity_divergence_pf(ctx, vv) * m
-            delta = jnp.maximum(delta, 0.0)
-            # particle-deficiency guard (<9 total neighbors, dfsph.rs:260-264)
-            delta = jnp.where(ctx.neighbor_total < 9, 0.0, delta)
-            ki = delta * alpha
+            if fused:
+                delta, ki = self._divergence_delta_ki_pf(ctx, vv)
+            else:
+                delta = self._velocity_divergence_pf(ctx, vv) * m
+                delta = jnp.maximum(delta, 0.0)
+                # particle-deficiency guard (<9 neighbors, dfsph.rs:260-264)
+                delta = jnp.where(ctx.neighbor_total < 9, 0.0, delta)
+                ki = delta * alpha
             s_sum = s_sum + ki
-            vv = vv - m * self._k_correction_pf(ctx, ki)
+            if fused:
+                vv = self._apply_correction_pf(ctx, ki, vv, m)
+            else:
+                vv = vv - m * self._k_correction_pf(ctx, ki)
             avg = self._mean_live_pf(delta, ctx, n_particles) / rho0
             return vv, s_sum, num + 1, avg
 
@@ -371,9 +553,12 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
         rho = ctx.densities
 
         with jax.named_scope("DFSPH.non_pressure_forces"):
-            visc = self._viscosity_pf(ctx, v, rho, dt)
-        gvec = jnp.asarray(self.gravity, dtype=REAL).reshape(2, 1, 1, 1)
-        accel = visc + gvec
+            if self.fuse_loop_elementwise:
+                accel = self._viscosity_gravity_pf(ctx, v, rho, dt)
+            else:
+                visc = self._viscosity_pf(ctx, v, rho, dt)
+                gvec = jnp.asarray(self.gravity, dtype=REAL).reshape(2, 1, 1, 1)
+                accel = visc + gvec
 
         # --- CFL with old-dt estimate (dfsph.rs:472-481)
         vstar = v + accel * dt

@@ -596,8 +596,8 @@ def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
     )
 
 
-def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, chunks,
-               radius_sq, rebase_cell, *refs):
+def _pf_kernel(term_fn, post_fn, n_sc, n_qv, n_sv, n_post, n_acc, n_out,
+               p, ps, br, nx, chunks, radius_sq, rebase_cell, *refs):
     """PF kernel body — occupancy-adaptive: per column chunk (static
     (start, width) pairs, see `_pf_chunks`), the query/source slot loops are
     fori_loops bounded by the CHUNK's live slot bounds (SMEM, per
@@ -610,7 +610,18 @@ def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, chunks,
     are BITWISE identical to it (and so to _sm_kernel) at EVERY chunk
     decomposition. refs: flag(SMEM), q_cnt(SMEM (nbr, len(chunks))), s_cnt
     (SMEM (nbr, len(chunks))), *scalars(SMEM), q_geom, s_geom, [q_vals],
-    [s_vals], out.
+    [s_vals], [q_post], out.
+
+    `post_fn(accs, post_planes, scalars) -> n_out tiles` (optional) maps the
+    n_acc accumulated tiles to the stored outputs per query slot — the
+    pressure-loop elementwise glue (boundary-term add, error/stiffness maps,
+    velocity updates) folded into the kernel so it runs only on LIVE bands
+    instead of as full-plane XLA fusions. `q_post` are query-side planes in
+    exact f32 (never downcast: post outputs like updated velocities must be
+    bit-identical to the XLA formulation on live slots). Dead bands/chunks
+    and slots beyond the live bound emit ZEROS, not post_fn(0): consumers
+    mask dead slots everywhere (the solver contract), but a post output is
+    NOT the XLA-composed value there — only live-lane values are pinned.
 
     `rebase_cell` (None in f32 mode, cell_size under bf16 operands) selects
     cell-relative geometry: operands upcast to f32 at load and dx/dy add the
@@ -626,6 +637,8 @@ def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, chunks,
     qv = refs[idx] if n_qv else None
     idx += 1 if n_qv else 0
     sv = refs[idx] if n_sv else None
+    idx += 1 if n_sv else 0
+    qpost = refs[idx] if n_post else None
     out_ref = refs[-1]
 
     # dead bands/chunks/slots must output exact zeros (the unrolled kernel's
@@ -651,7 +664,7 @@ def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, chunks,
                         for l in range(n_qv)
                     )
                     accs = tuple(
-                        jnp.zeros((br, cw), dtype=REAL) for _ in range(n_out)
+                        jnp.zeros((br, cw), dtype=REAL) for _ in range(n_acc)
                     )
                     for dyv in range(3):
                         for dxv in range(3):
@@ -690,8 +703,16 @@ def _pf_kernel(term_fn, n_sc, n_qv, n_sv, n_out, p, ps, br, nx, chunks,
                                 )
 
                             accs = jax.lax.fori_loop(0, s_cnt, sp_body, accs)
+                    if post_fn is None:
+                        outs = accs
+                    else:
+                        post_planes = tuple(
+                            qpost[l, qp, 0, :, c0 : c0 + cw]
+                            for l in range(n_post)
+                        )
+                        outs = post_fn(accs, post_planes, scalars)
                     for k in range(n_out):
-                        out_ref[k, qp, 0, :, c0 : c0 + cw] = accs[k]
+                        out_ref[k, qp, 0, :, c0 : c0 + cw] = outs[k]
                     return 0
 
                 jax.lax.fori_loop(0, q_cnt, qp_body, 0)
@@ -710,6 +731,9 @@ def pf_pair_reduce(
     scalars: Sequence = (),
     interpret: bool = None,
     chunk_lanes=_CHUNK_FROM_GRID,
+    post_fn=None,
+    post_planes: Sequence[jax.Array] = (),
+    n_acc: int = None,
 ):
     """sm_pair_reduce in plane form: q_vals / s_vals are resident plane arrays
     ((P, NYP, NXP) scalars, (2, P, NYP, NXP) vectors), the result is ONE
@@ -719,7 +743,15 @@ def pf_pair_reduce(
 
     `chunk_lanes` overrides `grid.pallas_pf_chunk_lanes` per call (the best
     width depends on the pass's accumulator count — see PERF.md round 4);
-    outputs are bitwise-identical at every width."""
+    outputs are bitwise-identical at every width.
+
+    `post_fn(accs, post_tiles, scalars) -> n_out tiles` maps the `n_acc`
+    accumulator tiles (default n_out) through an elementwise epilogue using
+    `post_planes` (query-side resident planes, kept in EXACT f32 — never the
+    bf16 operand dtype) before the store: pressure-loop glue fused into the
+    kernel, running only on live bands. Live-lane outputs are bit-identical
+    to composing the same jnp ops on the no-post kernel's output; dead
+    bands/chunks/slots emit zeros (see _pf_kernel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nbr = q.q_geom.shape[2]
@@ -746,6 +778,15 @@ def pf_pair_reduce(
         sv_b = None
     n_qv = qv_b.shape[0] if q_vals else 0
     n_sv = sv_b.shape[0] if s_vals else 0
+    # post planes stay exact f32 and need no halo (query-side only)
+    qp_b = (
+        _pf_block_query(_pf_concat(post_planes).astype(REAL), br)
+        if post_planes else None
+    )
+    n_post = qp_b.shape[0] if post_planes else 0
+    assert post_fn is not None or n_post == 0, "post_planes without post_fn"
+    if n_acc is None:
+        n_acc = n_out
 
     scalars_2d = [jnp.asarray(a, dtype=REAL).reshape(1, 1) for a in scalars]
 
@@ -777,6 +818,9 @@ def pf_pair_reduce(
     if s_vals:
         operands.append(sv_b)
         in_specs.append(vmem_spec(sv_b))
+    if post_planes:
+        operands.append(qp_b)
+        in_specs.append(vmem_spec(qp_b))
 
     out_shape = jax.ShapeDtypeStruct((n_out, p, nbr, br, nxp), REAL)
     out_spec = pl.BlockSpec(
@@ -785,7 +829,8 @@ def pf_pair_reduce(
     )
 
     kernel = functools.partial(
-        _pf_kernel, term_fn, len(scalars_2d), n_qv, n_sv, n_out, p, ps, br, nxp,
+        _pf_kernel, term_fn, post_fn, len(scalars_2d), n_qv, n_sv, n_post,
+        n_acc, n_out, p, ps, br, nxp,
         chunks, grid.radius_sq,
         float(grid.cell_size) if dtype != REAL else None,
     )
