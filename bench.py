@@ -32,6 +32,12 @@ Env knobs:
                          (interior chunks hold no boundary sources and are
                          skipped outright; default 128 = measured optimum,
                          -1 = inherit PF_CHUNK)
+  YASPH_BENCH_PF_REBUCKET_CHUNK  chunk width for the plane re-bucket only
+                         (per-view slot bounds pay at fine chunks; -1 =
+                         inherit PF_CHUNK)
+  YASPH_BENCH_PF_UNROLL  "auto" (default: unroll slot loops below
+                         SMALL_GRID_SLOTS), "0" = always bounded fori,
+                         "1" = always unrolled
   YASPH_BENCH_REBUILD_EVERY  k-step neighbor rebuild (default 1 = conformance;
                              k>1 is the opt-in Verlet-style mode, see PERF.md)
 """
@@ -52,6 +58,20 @@ compile_cache.enable()
 
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _chunk_env(name: str, default):
+    """Parse a pf chunk-width env var: unset/empty -> default; otherwise an
+    int that must be -1 (inherit sentinel) or a positive multiple of 128
+    (validated here rather than on a deep assert in _pf_chunks)."""
+    raw = os.environ.get(name)
+    if not raw:
+        return default
+    v = int(raw)
+    assert v == -1 or (v > 0 and v % 128 == 0), (
+        f"{name}={v}: must be -1 or a positive multiple of 128"
+    )
+    return v
 
 
 from yasph2d_tpu.models.viscosity import XSPHViscosityModel
@@ -137,18 +157,26 @@ def bench_one(target: int, num_steps: int, backend: str,
             pallas_sm_row_block=int(os.environ.get("YASPH_BENCH_SM_ROW_BLOCK", 8)),
             # pf kernels' adaptive-bound chunk width: unset/empty = full-width
             # bands (per-band slot bounds); "128" etc. = finer dead-chunk skip
-            pallas_pf_chunk_lanes=(
-                int(os.environ["YASPH_BENCH_PF_CHUNK"])
-                if os.environ.get("YASPH_BENCH_PF_CHUNK") else None
-            ),
+            pallas_pf_chunk_lanes=_chunk_env("YASPH_BENCH_PF_CHUNK", None),
             # boundary-pass-specific chunk width (interior columns hold no
             # boundary sources -> finer chunks skip them outright). 128 is the
             # measured optimum at 1M (45.64 vs 47.25 ms full-width; 256/512 in
             # between — PERF.md round-4 sweep) and default; "-1" inherits
             # PF_CHUNK (full-width bands when that is unset).
-            pallas_pf_stat_chunk_lanes=int(
-                os.environ.get("YASPH_BENCH_PF_STAT_CHUNK", 128)
+            pallas_pf_stat_chunk_lanes=_chunk_env(
+                "YASPH_BENCH_PF_STAT_CHUNK", 128
             ),
+            # re-bucket-specific chunk width: pf_rebucket's per-VIEW slot
+            # bounds only pay at fine chunks (most of the eight mover views
+            # are empty per 128-lane window); -1 inherits PF_CHUNK
+            pallas_pf_rebucket_chunk_lanes=_chunk_env(
+                "YASPH_BENCH_PF_REBUCKET_CHUNK", -1
+            ),
+            # slot-loop unrolling: "auto" (default) unrolls below
+            # SMALL_GRID_SLOTS (the 10k-scene ILP fix); "0"/"1" force
+            pallas_pf_unroll={
+                "auto": "auto", "0": False, "1": True,
+            }[os.environ.get("YASPH_BENCH_PF_UNROLL", "auto")],
             pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", DEFAULT_PAIR_DTYPE),
             pair_view_loop=os.environ.get("YASPH_BENCH_VIEW_LOOP") == "1",
         )

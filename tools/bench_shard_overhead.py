@@ -1,11 +1,13 @@
 """Measure the shard_map wrapper overhead at n_shards=1 on the real chip.
 
-Round-2 verdict item 3: the spatial-decomposition solver was only ever run on
-the virtual CPU mesh; its single-chip overhead vs the plain padded solver was
-unmeasured. An n_shards=1 shard_map run quantifies the wrapper cost (halo
-ppermutes degenerate to self-copies/zeros, psum/pmax to no-ops) for free.
+Round-2 verdict item 3 (padded) / round-4 item 5 (plane): the
+spatial-decomposition solvers were only ever run on the virtual CPU mesh;
+their single-chip overhead vs the plain solvers was unmeasured. An
+n_shards=1 shard_map run quantifies the wrapper cost (halo ppermutes
+degenerate to self-copies/zeros, psum/pmax to no-ops) for free.
 
-Usage: python tools/bench_shard_overhead.py [n_particles] [steps]
+Usage: python tools/bench_shard_overhead.py [n_particles] [steps] [backend]
+backend: padded (default) | plane (the flagship Pallas plane carry)
 Prints one JSON line with both ms/step figures and the overhead ratio.
 """
 
@@ -39,11 +41,29 @@ def timed(run, chunk_fn, chunks):
 def main():
     target = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    backend = sys.argv[3] if len(sys.argv) > 3 else "padded"
     chunk = 10
     chunks = max(1, steps // chunk)
 
     world = double_dam_break(target)
-    grid = dataclasses.replace(world.dense_grid(occupancy=7), row_block=16)
+    if backend == "plane":
+        import os
+
+        from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver
+        from yasph2d_tpu.parallel.shard_plane import ShardedDFSPHPlane
+
+        grid = dataclasses.replace(
+            world.dense_grid(occupancy=7),
+            use_pallas_slotmajor=True, pallas_sm_row_block=8,
+            pallas_pf_stat_chunk_lanes=128,
+            pair_dtype=os.environ.get(
+                "YASPH_BENCH_PAIR_DTYPE", "bfloat16"
+            ),
+        )
+        plain_cls, shard_cls = DFSPHPlaneSolver, ShardedDFSPHPlane
+    else:
+        grid = dataclasses.replace(world.dense_grid(occupancy=7), row_block=16)
+        plain_cls, shard_cls = DFSPHPaddedSolver, ShardedDFSPHPadded
     step_config = AdaptiveTimeStep(
         timestep_max=1 / 360, timestep_min=1 / 24000, cfl_factor=1.5
     )
@@ -52,24 +72,27 @@ def main():
     state = world.initial_state()
     n = world.num_dynamic_particles
 
-    # --- plain padded solver
-    plain = DFSPHPaddedSolver(
+    # --- plain solver
+    plain = plain_cls(
         viscosity_model=visc, properties=world.properties, grid=grid,
         step_config=step_config,
+    )
+    p_boundary = (
+        plain.boundary_planes(boundary) if backend == "plane" else boundary
     )
     carry = jax.jit(plain.init_carry)(state, boundary)
     simulate = jax.jit(plain.simulate, static_argnums=2)
     box = {"c": carry}
 
     def plain_chunk():
-        box["c"], _ = simulate(box["c"], boundary, chunk)
+        box["c"], _ = simulate(box["c"], p_boundary, chunk)
         _ = float(box["c"].time.total_simulated_time)
 
     t_plain = timed(plain_chunk, plain_chunk, chunks)
 
     # --- n_shards=1 shard_map wrapper
     mesh = make_space_mesh(jax.devices()[:1])
-    sharded = ShardedDFSPHPadded(
+    sharded = shard_cls(
         viscosity_model=visc, properties=world.properties, full_grid=grid,
         step_config=step_config, mesh=mesh,
     )
@@ -85,6 +108,7 @@ def main():
     ms_plain = t_plain / (chunks * chunk) * 1e3
     ms_shard = t_shard / (chunks * chunk) * 1e3
     print(json.dumps({
+        "backend": backend,
         "particles": n,
         "steps": chunks * chunk,
         "ms_per_step_plain": ms_plain,

@@ -50,6 +50,12 @@ def main():
             int(os.environ["YASPH_BENCH_PF_CHUNK"])
             if os.environ.get("YASPH_BENCH_PF_CHUNK") else None
         ),
+        pallas_pf_stat_chunk_lanes=int(
+            os.environ.get("YASPH_BENCH_PF_STAT_CHUNK", -1)
+        ),
+        pallas_pf_rebucket_chunk_lanes=int(
+            os.environ.get("YASPH_BENCH_PF_REBUCKET_CHUNK", -1)
+        ),
         pair_dtype=os.environ.get("YASPH_BENCH_PAIR_DTYPE", "float32"),
     )
     from yasph2d_tpu.models.dfsph_dense import DFSPHPaddedSolver

@@ -165,11 +165,8 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
 
         # boundary-source pass: finer chunks skip the (source-empty) interior
         # columns that the side walls would otherwise force full-width
-        # (dense_grid.pallas_pf_stat_chunk_lanes; -1 inherits the grid width)
-        kw = (
-            {} if g.pallas_pf_stat_chunk_lanes == -1
-            else {"chunk_lanes": g.pallas_pf_stat_chunk_lanes}
-        )
+        # (dense_grid.pallas_pf_stat_chunk_lanes; -1/None inherit the grid width)
+        kw = g.pf_stat_chunk_kw
         with jax.named_scope("FluidParticleWorld.update_densities+alpha"):
             geom = pf_build_geom(pos, mask, self._br, grid=g)
             flags_dyn = pass_flags(geom, geom, g)
@@ -197,10 +194,13 @@ class DFSPHPlaneSolver(DFSPHPaddedSolver):
                     denom = ((vx * vx) + (vy * vy)) + d3 + s3
                     return (dens_t, 1.0 / jnp.maximum(denom, eps), d4 + s4)
 
+                # stat is already one stacked (5, P, NYP, NXP) array — passed
+                # whole, it becomes a single reshape-blocked operand (no
+                # per-plane slice + re-concat copies)
                 fused = pf_pair_reduce(
                     ctx_terms, 3, geom, geom, flags_dyn, g, self._br,
                     post_fn=ctx_post, n_acc=5,
-                    post_planes=(stat[0], stat[1], stat[2], stat[3], stat[4]),
+                    post_planes=(stat,),
                 )
                 dens, alpha, neighbor_total = fused[0], fused[1], fused[2]
             else:

@@ -166,10 +166,7 @@ class WCSPHPlaneSolver(WCSPHPaddedSolver):
 
             # boundary-source pass: finer chunks skip source-empty interior
             # columns (see dense_grid.pallas_pf_stat_chunk_lanes)
-            stat_kw = (
-                {} if g.pallas_pf_stat_chunk_lanes == -1
-                else {"chunk_lanes": g.pallas_pf_stat_chunk_lanes}
-            )
+            stat_kw = g.pf_stat_chunk_kw
             stat = pf_pair_reduce(
                 stat_terms, 3, geom, boundary.geom,
                 pass_flags(geom, boundary.geom, g), g, self._br, **stat_kw,

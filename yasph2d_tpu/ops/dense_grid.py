@@ -27,7 +27,7 @@ zero-padding rows become one-cell-row halos exchanged with `lax.ppermute`.
 """
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +102,21 @@ class DenseGridConfig:
     # edge chunks per band. Measured PERF.md round 4. Sentinel -1 = inherit
     # pallas_pf_chunk_lanes.
     pallas_pf_stat_chunk_lanes: Optional[int] = -1
+    # Chunk width for the plane-form RE-BUCKET only. pf_rebucket's per-VIEW
+    # slot bounds only pay at fine chunks (at full width every band has some
+    # mover in every direction; in a 128-lane window most of the eight mover
+    # views are empty and their slot loops run zero iterations). Sentinel
+    # -1/None = inherit pallas_pf_chunk_lanes. Outputs are bitwise identical
+    # at every width (measured PERF.md round 5).
+    pallas_pf_rebucket_chunk_lanes: Optional[int] = -1
+    # Unroll the pf kernels' slot loops statically (the round-3 kernel
+    # structure) instead of occupancy-bounded fori_loops. On SMALL grids the
+    # fori loop-control overhead dominates and the unrolled kernel's ILP wins
+    # (the round-4 10k regression, 2.38 -> 3.00 ms); on large grids unrolling
+    # at high occupancy is the round-3 Mosaic compile wall. "auto" = unroll
+    # below SMALL_GRID_SLOTS. Outputs are bitwise identical either way (every
+    # candidate a bound excludes was masked to an exact +0.0).
+    pallas_pf_unroll: Union[bool, str] = "auto"
     # Dtype of the per-pair math inside pair_reduce: "float32" (exact, default) or
     # "bfloat16" (fast path). bfloat16 uses CELL-RELATIVE coordinates: positions are
     # rebased onto their own cell center (magnitude <= h/2, so pair differences
@@ -123,6 +138,22 @@ class DenseGridConfig:
     @property
     def pair_jnp_dtype(self):
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.pair_dtype]
+
+    @property
+    def pf_unroll_resolved(self) -> bool:
+        """Whether the pf kernels unroll their slot loops (see
+        pallas_pf_unroll)."""
+        if self.pallas_pf_unroll == "auto":
+            return self.num_cells * self.occupancy < SMALL_GRID_SLOTS
+        return bool(self.pallas_pf_unroll)
+
+    @property
+    def pf_stat_chunk_kw(self) -> dict:
+        """chunk_lanes override kwargs for the fluid-BOUNDARY (stat) pf pair
+        passes. Both -1 (documented sentinel) and None (the sibling field's
+        convention) mean "inherit pallas_pf_chunk_lanes" -> empty kwargs."""
+        v = self.pallas_pf_stat_chunk_lanes
+        return {} if v in (None, -1) else {"chunk_lanes": v}
 
     @property
     def radius_sq(self) -> float:

@@ -145,7 +145,11 @@ def build_geom(pos_pad: jax.Array, mask: jax.Array, br: int) -> SMGeom:
 
 def _edge_bits(s, grid: DenseGridConfig):
     """Occupancy of the neighbor shards' seam rows: (below_any, above_any),
-    each (1,) bool — False at the mesh edges / on a single device."""
+    each (1,) bool — False at the mesh edges / on a single device. A PFGeom
+    built with `grid` carries these precomputed from its own halo exchange
+    (no extra collectives); the ppermute fallback below serves SMGeom."""
+    if getattr(s, "edge_below", None) is not None:
+        return s.edge_below, s.edge_above
     if grid is None or grid.halo_axis is None:
         false = jnp.zeros((1,), dtype=bool)
         return false, false
@@ -368,6 +372,12 @@ class PFGeom(NamedTuple):
     q_cnt: jax.Array  # (nbr, NXP//128) int32: query slot bound per chunk
     s_cnt: jax.Array  # (nbr, NXP//128) int32: source slot bound per chunk
     #   window (s_geom columns [cc*128, cc*128 + 130))
+    # Neighbor shards' seam-row occupancy, derived from the geometry halo
+    # exchange itself (the received rows carry the mask plane) — saves
+    # `pass_flags` two scalar ppermutes per call vs `_edge_bits`. None on a
+    # geometry built without a grid (single-device call sites).
+    edge_below: jax.Array = None  # (1,) bool
+    edge_above: jax.Array = None  # (1,) bool
 
 
 def pf_dims(grid: DenseGridConfig, br: int):
@@ -517,12 +527,11 @@ def _pf_meta(q_geom: jax.Array, s_geom: jax.Array):
     return q_cnt, s_cnt
 
 
-def _pf_source_meta(sm: jax.Array, ncb: int) -> jax.Array:
-    """Source-side occupancy meta from a blocked source mask (P, nbr, BR+2,
-    NXS) bool: (nbr, ncb) int32 slot-loop bound over query chunk cc's source
-    window (s_geom columns [cc*128, cc*128 + 130))."""
-    nbr = sm.shape[1]
-    sb = _col_slot_bound(sm)  # (nbr, NXS)
+def _window_chunk_max(sb: jax.Array, ncb: int) -> jax.Array:
+    """(nbr, NXS) per-column bounds -> (nbr, ncb) max over each 128-lane query
+    chunk's source window (s_geom columns [cc*128, cc*128 + 130); the NXS
+    layout is left-shifted by the one-lane halo, so no extra offset)."""
+    nbr = sb.shape[0]
     chunk = jnp.max(sb[:, : ncb * LANE].reshape(nbr, ncb, LANE), axis=2)
     return jnp.maximum(
         chunk,
@@ -530,6 +539,13 @@ def _pf_source_meta(sm: jax.Array, ncb: int) -> jax.Array:
             sb[:, LANE::LANE][:, :ncb], sb[:, LANE + 1 :: LANE][:, :ncb]
         ),
     )
+
+
+def _pf_source_meta(sm: jax.Array, ncb: int) -> jax.Array:
+    """Source-side occupancy meta from a blocked source mask (P, nbr, BR+2,
+    NXS) bool: (nbr, ncb) int32 slot-loop bound over query chunk cc's source
+    window."""
+    return _window_chunk_max(_col_slot_bound(sm), ncb)
 
 
 _CHUNK_FROM_GRID = object()  # sentinel: resolve width from the grid config
@@ -583,8 +599,17 @@ def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
     ).astype(dtype)
     band_any, first_any, last_any = _pf_band_bits(mask, br)
     q_geom = _pf_block_query(planes, br)
-    s_geom = _pf_block_source(planes, br, halo=_pf_halo(planes, grid))
+    halo = _pf_halo(planes, grid)
+    s_geom = _pf_block_source(planes, br, halo=halo)
     q_cnt, s_cnt = _pf_meta(q_geom, s_geom)
+    if halo is None:
+        false = jnp.zeros((1,), dtype=bool)
+        edge_below = edge_above = false
+    else:
+        # seam-row occupancy from the received halo rows' mask plane — the
+        # neighbor's last_any/first_any without extra collectives
+        edge_below = jnp.any(halo[0][2].astype(REAL) > 0.0).reshape(1)
+        edge_above = jnp.any(halo[1][2].astype(REAL) > 0.0).reshape(1)
     return PFGeom(
         q_geom=q_geom,
         s_geom=s_geom,
@@ -593,11 +618,13 @@ def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
         last_any=last_any,
         q_cnt=q_cnt,
         s_cnt=s_cnt,
+        edge_below=edge_below,
+        edge_above=edge_above,
     )
 
 
-def _pf_kernel(term_fn, post_fn, n_sc, n_qv, n_sv, n_post, n_acc, n_out,
-               p, ps, br, nx, chunks, radius_sq, rebase_cell, *refs):
+def _pf_kernel(term_fn, post_fn, n_sc, n_qv, n_sv, post_plan, n_acc, n_out,
+               p, ps, br, nx, chunks, radius_sq, rebase_cell, unroll, *refs):
     """PF kernel body — occupancy-adaptive: per column chunk (static
     (start, width) pairs, see `_pf_chunks`), the query/source slot loops are
     fori_loops bounded by the CHUNK's live slot bounds (SMEM, per
@@ -619,9 +646,10 @@ def _pf_kernel(term_fn, post_fn, n_sc, n_qv, n_sv, n_post, n_acc, n_out,
     instead of as full-plane XLA fusions. `q_post` are query-side planes in
     exact f32 (never downcast: post outputs like updated velocities must be
     bit-identical to the XLA formulation on live slots). Dead bands/chunks
-    and slots beyond the live bound emit ZEROS, not post_fn(0): consumers
-    mask dead slots everywhere (the solver contract), but a post output is
-    NOT the XLA-composed value there — only live-lane values are pinned.
+    and slots beyond the live bound emit ZEROS, not post_fn(0); dead LANES
+    below a live bound DO store post_fn(0, post_planes). Consumers mask dead
+    slots everywhere (the solver contract): a post output is NOT the
+    XLA-composed value on any dead lane — only live-lane values are pinned.
 
     `rebase_cell` (None in f32 mode, cell_size under bf16 operands) selects
     cell-relative geometry: operands upcast to f32 at load and dx/dy add the
@@ -638,8 +666,18 @@ def _pf_kernel(term_fn, post_fn, n_sc, n_qv, n_sv, n_post, n_acc, n_out,
     idx += 1 if n_qv else 0
     sv = refs[idx] if n_sv else None
     idx += 1 if n_sv else 0
-    qpost = refs[idx] if n_post else None
+    n_post_ops = 1 + max((op for op, _ in post_plan), default=-1)
+    qpost_refs = refs[idx : idx + n_post_ops]
     out_ref = refs[-1]
+
+    def post_tile(l, qp, c0, cw):
+        """Logical post plane l of query slot qp — post_plan maps it to its
+        own (separately passed, reshape-blocked) operand ref."""
+        op, comp = post_plan[l]
+        r = qpost_refs[op]
+        if comp is None:
+            return r[qp, 0, :, c0 : c0 + cw]
+        return r[comp, qp, 0, :, c0 : c0 + cw]
 
     # dead bands/chunks/slots must output exact zeros (the unrolled kernel's
     # masked sums); live chunks overwrite below
@@ -702,20 +740,30 @@ def _pf_kernel(term_fn, post_fn, n_sc, n_qv, n_sv, n_post, n_acc, n_out,
                                     for a, o in zip(accs, outs)
                                 )
 
-                            accs = jax.lax.fori_loop(0, s_cnt, sp_body, accs)
+                            if unroll:
+                                for sp in range(ps):
+                                    accs = sp_body(sp, accs)
+                            else:
+                                accs = jax.lax.fori_loop(
+                                    0, s_cnt, sp_body, accs
+                                )
                     if post_fn is None:
                         outs = accs
                     else:
                         post_planes = tuple(
-                            qpost[l, qp, 0, :, c0 : c0 + cw]
-                            for l in range(n_post)
+                            post_tile(l, qp, c0, cw)
+                            for l in range(len(post_plan))
                         )
                         outs = post_fn(accs, post_planes, scalars)
                     for k in range(n_out):
                         out_ref[k, qp, 0, :, c0 : c0 + cw] = outs[k]
                     return 0
 
-                jax.lax.fori_loop(0, q_cnt, qp_body, 0)
+                if unroll:
+                    for qp in range(p):
+                        qp_body(qp, 0)
+                else:
+                    jax.lax.fori_loop(0, q_cnt, qp_body, 0)
 
 
 def pf_pair_reduce(
@@ -734,6 +782,7 @@ def pf_pair_reduce(
     post_fn=None,
     post_planes: Sequence[jax.Array] = (),
     n_acc: int = None,
+    unroll: bool = None,
 ):
     """sm_pair_reduce in plane form: q_vals / s_vals are resident plane arrays
     ((P, NYP, NXP) scalars, (2, P, NYP, NXP) vectors), the result is ONE
@@ -745,13 +794,28 @@ def pf_pair_reduce(
     width depends on the pass's accumulator count — see PERF.md round 4);
     outputs are bitwise-identical at every width.
 
+    `unroll` (default `grid.pf_unroll_resolved`: auto-on below
+    SMALL_GRID_SLOTS) replaces the occupancy-bounded slot fori_loops with
+    static unrolls — the round-3 kernel structure, whose ILP wins on small
+    grids where loop control dominates. No-post outputs are bitwise identical
+    either way; with `post_fn`, dead lanes hold post_fn(0, ...) instead of
+    zeros beyond the live bound (nothing consumes them — see the contract
+    above).
+
     `post_fn(accs, post_tiles, scalars) -> n_out tiles` maps the `n_acc`
     accumulator tiles (default n_out) through an elementwise epilogue using
     `post_planes` (query-side resident planes, kept in EXACT f32 — never the
     bf16 operand dtype) before the store: pressure-loop glue fused into the
-    kernel, running only on live bands. Live-lane outputs are bit-identical
-    to composing the same jnp ops on the no-post kernel's output; dead
-    bands/chunks/slots emit zeros (see _pf_kernel)."""
+    kernel, running only on live bands. Each post entry is its own pallas
+    operand (blocking = pure reshape, no concat copy): ndim-3 entries are one
+    (P, NYP, NXP) plane; ndim-4 entries ((2, ...) vectors or pre-stacked
+    outputs) contribute shape[0] logical planes in order. Exact post contract (only LIVE-masked
+    lanes are pinned): live lanes are bit-identical to composing the same jnp
+    ops on the no-post kernel's output; dead bands/chunks and slots >= the
+    chunk's live bound emit zeros; dead LANES below a live bound store
+    post_fn(0, post_planes) — e.g. stale-velocity-derived values from
+    _apply_correction_pf. Every solver consumer masks dead slots; a new
+    unmasked consumer must not rely on dead-lane values."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nbr = q.q_geom.shape[2]
@@ -778,13 +842,26 @@ def pf_pair_reduce(
         sv_b = None
     n_qv = qv_b.shape[0] if q_vals else 0
     n_sv = sv_b.shape[0] if s_vals else 0
-    # post planes stay exact f32 and need no halo (query-side only)
-    qp_b = (
-        _pf_block_query(_pf_concat(post_planes).astype(REAL), br)
-        if post_planes else None
-    )
-    n_post = qp_b.shape[0] if post_planes else 0
-    assert post_fn is not None or n_post == 0, "post_planes without post_fn"
+    # Post planes stay exact f32 and need no halo (query-side only). Each
+    # entry is its OWN pallas operand — query blocking is then a pure reshape
+    # per entry, with no _pf_concat copy (at 1M the loop kernels' post concats
+    # were ~3-6 ms/step of pure HBM round-trip — PERF.md round 5). An entry
+    # with ndim 3 is one (P, NYP, NXP) plane; ndim 4 contributes shape[0]
+    # logical planes ((2,...) vectors, or e.g. the ctx pass's stacked stat
+    # output). post_plan maps logical plane index -> (operand, component).
+    post_ops = []
+    post_plan = []
+    for v in post_planes:
+        v = v.astype(REAL)
+        blocked = v.reshape(v.shape[:-2] + (v.shape[-2] // br, br, v.shape[-1]))
+        op_idx = len(post_ops)
+        post_ops.append(blocked)
+        if v.ndim == 3:
+            post_plan.append((op_idx, None))
+        else:
+            post_plan.extend((op_idx, k) for k in range(v.shape[0]))
+    post_plan = tuple(post_plan)
+    assert post_fn is not None or not post_plan, "post_planes without post_fn"
     if n_acc is None:
         n_acc = n_out
 
@@ -818,9 +895,15 @@ def pf_pair_reduce(
     if s_vals:
         operands.append(sv_b)
         in_specs.append(vmem_spec(sv_b))
-    if post_planes:
-        operands.append(qp_b)
-        in_specs.append(vmem_spec(qp_b))
+    for b in post_ops:
+        operands.append(b)
+        if b.ndim == 4:  # (P, nbr, BR, NXP) scalar plane
+            in_specs.append(pl.BlockSpec(
+                (b.shape[0], 1, br, nxp), lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        else:  # (L, P, nbr, BR, NXP) stacked planes
+            in_specs.append(vmem_spec(b))
 
     out_shape = jax.ShapeDtypeStruct((n_out, p, nbr, br, nxp), REAL)
     out_spec = pl.BlockSpec(
@@ -828,11 +911,14 @@ def pf_pair_reduce(
         memory_space=pltpu.VMEM,
     )
 
+    if unroll is None:
+        unroll = grid.pf_unroll_resolved
     kernel = functools.partial(
-        _pf_kernel, term_fn, post_fn, len(scalars_2d), n_qv, n_sv, n_post,
+        _pf_kernel, term_fn, post_fn, len(scalars_2d), n_qv, n_sv, post_plan,
         n_acc, n_out, p, ps, br, nxp,
         chunks, grid.radius_sq,
         float(grid.cell_size) if dtype != REAL else None,
+        unroll,
     )
     out = pl.pallas_call(
         kernel,
@@ -879,30 +965,46 @@ def pf_move_codes(pos: jax.Array, mask: jax.Array, grid: DenseGridConfig,
 
 
 def _pf_rebucket_kernel(n_pay, p, br, nx, chunks, *refs):
-    """PF re-bucket body — occupancy-adaptive candidate scan. refs: flag(SMEM
-    (nbr, 1)), s_cnt(SMEM (nbr, len(chunks)) per-chunk candidate slot bound), src
+    """PF re-bucket body — occupancy-adaptive candidate scan with PER-VIEW
+    slot bounds. refs: flag(SMEM (nbr, 1)), cnt9(SMEM (nbr, 9*len(chunks)):
+    per (chunk, view) candidate slot bound, view-major within a chunk), src
     (1+n_pay, P, 1, BR+2, NXS) with plane 0 = move code, out (n_pay+1, P, 1,
-    BR, NXP). Per live `cw`-lane column chunk: one counting scan over the
-    window's live candidate slots yields the incoming-total plane (written at
-    slot 0 — consumers read only slot 0) and the chunk's max incoming count,
-    which bounds the target slot loop; each target slot then rescans
-    candidates in the fully-unrolled kernel's exact (dyv, dxv, sp) order, so
-    payloads land bitwise-identically at every cw. Dead chunks / target slots
-    beyond the incoming max keep the pre-written zeros, which is exactly what
-    the unrolled kernel's masked sums produced."""
+    BR, NXP).
+
+    View (dyv, dxv) only selects candidates whose move code equals
+    (2-dyv)*3 + (2-dxv) + 1, so each view's slot loop is bounded by the max
+    live slot index of THAT code in the chunk's window — most particles do
+    not change cell per CFL step, so the eight mover views are usually empty
+    (bound 0 -> the fori_loop body never runs) and the scan cost collapses
+    to ~the stay view. Skipped candidates have a different code and would
+    have contributed nothing to the running rank or the accumulators, so
+    compaction order and payloads stay BITWISE identical to the all-candidate
+    scan at every chunk width.
+
+    Per live chunk: one counting scan yields the incoming-total plane
+    (written at slot 0 — consumers read only slot 0) and the chunk's max
+    incoming count, which bounds the target slot loop; each target slot then
+    rescans candidates in the fully-unrolled kernel's exact (dyv, dxv, sp)
+    order. Dead chunks / target slots beyond the incoming max keep the
+    pre-written zeros, exactly what the unrolled kernel's masked sums
+    produced."""
     flag_ref, cnt_ref, src, out_ref = refs
     i = pl.program_id(0)
     flag = flag_ref[i, 0]
+    ncl = len(chunks)
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     @pl.when(flag != 0)
     def _run():
         for cc, (c0, cw) in enumerate(chunks):
-            s_cnt = cnt_ref[i, cc]
+            bounds = [cnt_ref[i, v * ncl + cc] for v in range(9)]
+            any_live = bounds[0]
+            for b in bounds[1:]:
+                any_live = jnp.maximum(any_live, b)
 
-            @pl.when(s_cnt > 0)
-            def _chunk(c0=c0, cw=cw, s_cnt=s_cnt):
+            @pl.when(any_live > 0)
+            def _chunk(c0=c0, cw=cw, bounds=bounds):
                 # counting scan: per-cell incoming total for this chunk
                 cnt = jnp.zeros((br, cw), dtype=REAL)
                 for dyv in range(3):
@@ -915,7 +1017,9 @@ def _pf_rebucket_kernel(n_pay, p, br, nx, chunks, *refs):
                                     pl.ds(c0 + dxv, cw)]
                             return cnt + jnp.where(c == expected, 1.0, 0.0)
 
-                        cnt = jax.lax.fori_loop(0, s_cnt, cnt_body, cnt)
+                        cnt = jax.lax.fori_loop(
+                            0, bounds[dyv * 3 + dxv], cnt_body, cnt
+                        )
                 out_ref[n_pay, 0, 0, :, c0 : c0 + cw] = cnt
                 qp_max = jnp.minimum(jnp.max(cnt).astype(jnp.int32), p)
 
@@ -947,7 +1051,7 @@ def _pf_rebucket_kernel(n_pay, p, br, nx, chunks, *refs):
                                 return run + jnp.where(sel, 1.0, 0.0), accs
 
                             run, accs = jax.lax.fori_loop(
-                                0, s_cnt, sp_body, (run, accs)
+                                0, bounds[dyv * 3 + dxv], sp_body, (run, accs)
                             )
                     for k in range(n_pay):
                         out_ref[k, qp, 0, :, c0 : c0 + cw] = accs[k]
@@ -995,10 +1099,30 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
     above = jnp.concatenate([first_any[1:], edge_above])
     flags = (band_any | below | above).astype(jnp.int32)[:, None]
 
-    # occupancy meta from the move-code plane (live candidate = code > 0),
-    # halo rows included since src is blocked post-exchange
+    # occupancy meta from the move-code plane, PER VIEW: view (dyv, dxv) only
+    # selects code (2-dyv)*3 + (2-dxv) + 1, so its slot loop is bounded by
+    # the max live slot index of that code over the chunk's (conservative,
+    # all-rows + column-halo) window. Halo rows are included since src is
+    # blocked post-exchange. XLA fuses the nine compares into one read of the
+    # code plane; the nine (nbr, ncb) tables are tiny.
+    if chunk_lanes is _CHUNK_FROM_GRID and grid.pallas_pf_rebucket_chunk_lanes \
+            not in (None, -1):
+        chunk_lanes = grid.pallas_pf_rebucket_chunk_lanes
     chunks = _pf_chunks(grid, nxp, override=chunk_lanes)
-    s_cnt = _pf_coarsen(_pf_source_meta(src[0] > 0.0, nxp // LANE), chunks)
+    ncb = nxp // LANE
+    codes = src[0]  # (P, nbr, BR+2, NXS)
+    view_bounds = []
+    for dyv in range(3):
+        for dxv in range(3):
+            expected = float((2 - dyv) * 3 + (2 - dxv) + 1)
+            colb = _col_slot_bound(codes == expected)  # (nbr, NXS)
+            view_bounds.append(
+                _pf_coarsen(_window_chunk_max(colb, ncb), chunks)
+            )
+    # (nbr, 9*ncl), view-major within a chunk: [i, v*ncl + cc]
+    cnt9 = jnp.stack(view_bounds).transpose(1, 0, 2).reshape(
+        src.shape[2], 9 * len(chunks)
+    )
 
     def smem_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -1017,12 +1141,12 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
     out = pl.pallas_call(
         kernel,
         grid=(nbr,),
-        in_specs=[smem_spec(flags), smem_spec(s_cnt), src_spec],
+        in_specs=[smem_spec(flags), smem_spec(cnt9), src_spec],
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(flags, s_cnt, src)
+    )(flags, cnt9, src)
 
     out = out.reshape(n_pay + 1, p, nbr * br, nxp)
     new_pos = out[0:2]

@@ -144,8 +144,10 @@ class _ShardedPlaneBase(ShardedDFSPHDense):
                 return P(None, SPACE_AXIS)  # (P, NYP, NXP) scalar planes
             if len(s) == 2 and s[0] == nbr:
                 return P(SPACE_AXIS)  # (nbr, 1) flags / (nbr, ncb) col chunks
-            if len(s) == 1 and s[0] == nbr:
-                return P(SPACE_AXIS)  # (nbr,) band bits / slot-loop bounds
+            if len(s) == 1 and s[0] in (nbr, 1):
+                # (nbr,) band bits / slot-loop bounds; (1,) per-shard seam
+                # edge bits (PFGeom.edge_below/above)
+                return P(SPACE_AXIS)
             if s[0] == n_local:
                 return P(SPACE_AXIS)  # per-particle state blocks
             return P()
