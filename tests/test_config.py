@@ -80,6 +80,43 @@ def test_physical_viscosity_and_adaptive():
     assert float(diag.dt) > 0
 
 
+def test_perf_knobs_roundtrip_and_build(tmp_path):
+    """The measured-best bench settings (PERF.md round 4) must be reachable
+    from a JSON config: pair_dtype, pf chunk widths, slot-major row block."""
+    import dataclasses
+
+    cfg = SimulationConfig(
+        fluid=FluidConfig(particle_density=100.0),  # tiny: interpret-mode CPU
+        solver=SolverConfig(
+            kind="dfsph_plane",
+            pair_dtype="bfloat16",
+            pallas_pf_chunk_lanes=128,
+            pallas_pf_stat_chunk_lanes=128,
+            pallas_sm_row_block=4,
+        ),
+        timestep=TimestepConfig(kind="fixed", fixed_timestep=1.0 / 3000.0),
+        scene=[
+            FluidRect(rect=(0.1, 0.1, 0.4, 0.4), jitter=0.05),
+            BoundaryThickLine(start=(0.0, 0.0), end=(2.0, 0.0), thickness=2),
+        ],
+    )
+    path = str(tmp_path / "cfg.json")
+    cfg.to_json(path)
+    loaded = SimulationConfig.from_json(path)
+    assert loaded == cfg
+    # build() runs init_carry through the bf16 chunked kernels (interpret mode
+    # off-TPU); stepping at these settings is covered on-chip by the bench and
+    # by tests/test_pf_bf16.py at the kernel level
+    world, solver, boundary, carry = loaded.build()
+    g = solver.grid
+    assert g.pair_dtype == "bfloat16"
+    assert g.pallas_pf_chunk_lanes == 128
+    assert g.pallas_pf_stat_chunk_lanes == 128
+    assert g.pallas_sm_row_block == 4
+    dens = np.asarray(carry.ctx.densities)
+    assert np.isfinite(dens[np.asarray(carry.ctx.mask)]).all()
+
+
 def test_rebuild_every_roundtrip_and_build(tmp_path):
     import dataclasses
     import jax

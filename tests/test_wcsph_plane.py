@@ -26,10 +26,14 @@ from yasph2d_tpu.timemanager import AdaptiveTimeStep, FixedTimeStep
 
 from test_wcsph import small_dam_break
 
-pytestmark = pytest.mark.skipif(
+# The padded-vs-plane comparison tests jit BOTH slot-major solvers; off-TPU
+# that is two interpret-mode compiles of every kernel generation — TPU-only.
+# The occupancy-adaptive pf kernels alone compile fine in interpret mode, so
+# the plane solver itself gets a small off-TPU step test below.
+tpu_only = pytest.mark.skipif(
     jax.default_backend() != "tpu",
-    reason="jitted slot-major solvers compile >1 h in interpret mode; "
-    "kernel-level PF equivalence is covered by test_pallas_plane.py",
+    reason="jitted padded+plane slot-major solver pairs compile too long in "
+    "interpret mode; kernel-level PF equivalence is in test_pallas_plane.py",
 )
 
 
@@ -59,6 +63,7 @@ def live_rows(state):
     FixedTimeStep(1.0 / 3000.0),
     AdaptiveTimeStep(timestep_max=1 / 360, timestep_min=1 / 24000, cfl_factor=0.2),
 ], ids=["fixed", "adaptive"])
+@tpu_only
 def test_wcsph_plane_matches_padded_slotmajor(step_config):
     world = small_dam_break(particle_density=1600.0)
     padded, plane, grid = make_pair(world, step_config)
@@ -81,6 +86,7 @@ def test_wcsph_plane_matches_padded_slotmajor(step_config):
     np.testing.assert_allclose(prows[:, 2], frows[:, 2], rtol=2e-4, atol=5e-2)
 
 
+@tpu_only
 @pytest.mark.slow
 def test_wcsph_plane_conserves_particles():
     world = small_dam_break(particle_density=1600.0)
@@ -99,8 +105,7 @@ def test_wcsph_plane_conserves_particles():
     s = plane.export_state(c)
     pos = np.asarray(s.positions)[np.asarray(s.alive)]
     assert np.isfinite(pos).all()
-
-
+@tpu_only
 def test_wcsph_plane_config_build_and_step():
     """SolverConfig(kind='wcsph_plane') builds and steps through the
     declarative surface."""
@@ -127,3 +132,47 @@ def test_wcsph_plane_config_build_and_step():
     assert int(diag.neighbor_drops) == 0
     s = solver.export_state(carry)
     assert int(np.asarray(s.alive).sum()) == world.num_dynamic_particles
+
+
+def test_wcsph_plane_steps_off_tpu():
+    """WCSPH plane solver steps on any backend (interpret-mode kernels off
+    TPU, like the DFSPH fused-glue test): 6 jitted steps on a tiny scene,
+    validated against the padded XLA solver. The boundary pass accumulates in
+    kernel band order instead of XLA reduce order, so agreement is to f32
+    drift, not bitwise (same contract as the TPU-only comparison above).
+    Reference semantics: wscsph.rs:126-179."""
+    import jax.numpy as jnp
+
+    from yasph2d_tpu.world import FluidParticleWorld
+
+    world = FluidParticleWorld(1.0, 60.0, 100.0)
+    world.add_fluid_rect((0.1, 0.7, 0.5, 1.0), 0.05)
+    world.add_boundary_thick_line((0.0, 0.0), (2.0, 0.0), 2)
+    grid = dataclasses.replace(
+        world.dense_grid(occupancy=3), pallas_sm_row_block=4
+    )
+    plane_grid = dataclasses.replace(grid, use_pallas_slotmajor=True)
+    h = world.properties.smoothing_length
+    common = dict(
+        viscosity_model=XSPHViscosityModel(smoothing_length=h),
+        properties=world.properties,
+        step_config=FixedTimeStep(1.0 / 3000.0),
+    )
+    plane = WCSPHPlaneSolver(grid=plane_grid, **common)
+    padded = WCSPHPaddedSolver(grid=grid, **common)
+
+    boundary = world.boundary_dense(grid)
+    bpl = plane.boundary_planes(world.boundary_dense(plane_grid))
+    fc = jax.jit(plane.init_carry)(world.initial_state())
+    pc = jax.jit(padded.init_carry)(world.initial_state())
+
+    fc, fdiag = jax.jit(plane.simulate, static_argnums=2)(fc, bpl, 6)
+    pc, pdiag = jax.jit(padded.simulate, static_argnums=2)(pc, boundary, 6)
+
+    assert int(fdiag.neighbor_drops) == 0 and int(pdiag.neighbor_drops) == 0
+    frows = live_rows(plane.export_state(fc))
+    prows = live_rows(padded.export_state(pc))
+    assert frows.shape == prows.shape
+    assert frows.shape[0] == world.num_dynamic_particles
+    np.testing.assert_allclose(prows[:, :2], frows[:, :2], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(prows[:, 2], frows[:, 2], rtol=1e-5, atol=1e-3)

@@ -149,6 +149,24 @@ class SolverConfig:
     # measured single-device path (PERF.md round 3). Dense/padded solvers only;
     # requires a TPU backend (or Pallas interpret mode elsewhere).
     use_pallas_slotmajor: bool = False
+    # Performance knobs of the dense/plane grids (DenseGridConfig twins; the
+    # conformance defaults match the grid's). A JSON config can reproduce the
+    # measured-best bench settings: pair_dtype="bfloat16",
+    # pallas_pf_stat_chunk_lanes=128 (PERF.md round 4).
+    # "float32" (exact, conformance) | "bfloat16" (cell-relative operand
+    # planes; kernel math stays f32 on the pf path)
+    pair_dtype: str = "float32"
+    # pf-kernel adaptive-bound chunk width in lanes (multiple of 128);
+    # None = full-width bands
+    pallas_pf_chunk_lanes: Optional[int] = None
+    # chunk width for the fluid-BOUNDARY passes only; -1/None = inherit
+    pallas_pf_stat_chunk_lanes: Optional[int] = -1
+    # chunk width for the plane re-bucket only; -1/None = inherit
+    pallas_pf_rebucket_chunk_lanes: Optional[int] = -1
+    # pf slot-loop unrolling: "auto" | True | False (see DenseGridConfig)
+    pallas_pf_unroll: Union[bool, str] = "auto"
+    # slot-major Pallas band height
+    pallas_sm_row_block: int = 8
 
 
 @dataclass(frozen=True)
@@ -220,7 +238,12 @@ class SimulationConfig:
         return world
 
     def build(self):
-        """Returns (world, solver, boundary, carry) ready to step."""
+        """Returns (world, solver, boundary, carry) ready to step. The carry
+        init is jitted: eager interpret-mode Pallas kernels (plane kinds off
+        TPU) cost minutes, while the identical kernels compile+run in
+        seconds under jit."""
+        import jax
+
         from .models.viscosity import PhysicalViscosityModel, XSPHViscosityModel
         from .timemanager import AdaptiveTimeStep, FixedTimeStep
 
@@ -258,12 +281,23 @@ class SimulationConfig:
             raise ValueError(f"unknown timestep kind {self.timestep.kind!r}")
 
         sc = self.solver
+
+        def _grid_knobs(grid):
+            """Apply the SolverConfig's DenseGridConfig perf knobs."""
+            return dataclasses.replace(
+                grid,
+                pair_dtype=sc.pair_dtype,
+                pallas_pf_chunk_lanes=sc.pallas_pf_chunk_lanes,
+                pallas_pf_stat_chunk_lanes=sc.pallas_pf_stat_chunk_lanes,
+                pallas_sm_row_block=sc.pallas_sm_row_block,
+            )
+
         if sc.kind in ("wcsph_dense", "wcsph_padded", "wcsph_plane"):
             from .models.wcsph_dense import WCSPHDenseSolver, WCSPHPaddedSolver
 
-            grid = world.dense_grid(
+            grid = _grid_knobs(world.dense_grid(
                 occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
-            )
+            ))
             if sc.use_pallas_slotmajor or sc.kind == "wcsph_plane":
                 grid = dataclasses.replace(grid, use_pallas_slotmajor=True)
             if sc.kind == "wcsph_plane":
@@ -288,7 +322,7 @@ class SimulationConfig:
                 # the plane solver steps against the boundary's prebuilt
                 # plane-form geometry (built once per boundary change)
                 boundary = solver.boundary_planes(boundary)
-            carry = solver.init_carry(world.initial_state())
+            carry = jax.jit(solver.init_carry)(world.initial_state())
         elif sc.kind == "wcsph":
             from .models.wcsph import WCSPHSolver
 
@@ -303,7 +337,7 @@ class SimulationConfig:
                 gravity=self.gravity,
             )
             boundary = world.boundary_grid()
-            carry = solver.init_carry(world.initial_state())
+            carry = jax.jit(solver.init_carry)(world.initial_state())
         elif sc.kind == "dfsph":
             from .models.dfsph import DFSPHSolver
 
@@ -319,13 +353,13 @@ class SimulationConfig:
                 gravity=self.gravity,
             )
             boundary = world.boundary_grid()
-            carry = solver.init_carry(world.initial_state(), boundary)
+            carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
         elif sc.kind in ("dfsph_dense", "dfsph_padded", "dfsph_plane"):
             from .models.dfsph_dense import DFSPHDenseSolver, DFSPHPaddedSolver
 
-            grid = world.dense_grid(
+            grid = _grid_knobs(world.dense_grid(
                 occupancy=sc.dense_occupancy, ny_multiple=sc.dense_ny_multiple
-            )
+            ))
             if sc.use_pallas_slotmajor or sc.kind == "dfsph_plane":
                 grid = dataclasses.replace(grid, use_pallas_slotmajor=True)
             if sc.kind == "dfsph_plane":
@@ -352,7 +386,7 @@ class SimulationConfig:
                 # the plane solver steps against the boundary's prebuilt
                 # plane-form geometry (built once per boundary change)
                 boundary = solver.boundary_planes(boundary)
-            carry = solver.init_carry(world.initial_state(), boundary)
+            carry = jax.jit(solver.init_carry)(world.initial_state(), boundary)
         else:
             raise ValueError(f"unknown solver kind {sc.kind!r}")
 
