@@ -36,12 +36,23 @@ def run(f, x, reps=30):
     return (time.perf_counter() - t0) / reps
 
 
-def fma_probe(chains, k_ops=64):
+def fma_probe(chains, k_ops=4096, inner=8):
+    """k_ops fmas per element per call: an in-kernel fori_loop of
+    k_ops/(chains*inner) iterations, each `inner` unrolled fmas per chain
+    (enough ILP exposure per iteration; compile stays seconds, and one call
+    does ~100x more work than the tunnel's per-dispatch overhead)."""
     def kernel(x_ref, o_ref):
         a = x_ref[0, 0]
-        accs = [a * (1.0 + 0.001 * c) for c in range(chains)]
-        for i in range(k_ops // chains):
-            accs = [acc * a + 1.0e-7 for acc in accs]
+
+        def body(i, accs):
+            for _ in range(inner):
+                accs = tuple(acc * a + 1.0e-7 for acc in accs)
+            return accs
+
+        accs = jax.lax.fori_loop(
+            0, k_ops // (chains * inner),
+            body, tuple(a * (1.0 + 0.001 * c) for c in range(chains)),
+        )
         acc = accs[0]
         for c in range(1, chains):
             acc = acc + accs[c]
@@ -62,13 +73,22 @@ def fma_probe(chains, k_ops=64):
     return ops / dt
 
 
-def mix_probe(chains=8, k_ops=64):
+def mix_probe(chains=8, k_ops=4096, inner=8):
     """compare+select+add mix (the pair kernels' masked-accumulate blend)."""
     def kernel(x_ref, o_ref):
         a = x_ref[0, 0]
-        accs = [a * (1.0 + 0.001 * c) for c in range(chains)]
-        for i in range(k_ops // chains):
-            accs = [acc + jnp.where(a > 0.5, a, 0.0) for acc in accs]
+
+        def body(i, accs):
+            for _ in range(inner):
+                accs = tuple(
+                    acc + jnp.where(a > 0.5, a, 0.0) for acc in accs
+                )
+            return accs
+
+        accs = jax.lax.fori_loop(
+            0, k_ops // (chains * inner),
+            body, tuple(a * (1.0 + 0.001 * c) for c in range(chains)),
+        )
         acc = accs[0]
         for c in range(1, chains):
             acc = acc + accs[c]
@@ -90,13 +110,16 @@ def mix_probe(chains=8, k_ops=64):
     return ops / dt
 
 
-def hbm_probe():
+def hbm_probe(k=16):
     a = jnp.ones((64, 1024, 1664), jnp.float32)  # 436 MB
     def g(x):
-        y = x * 1.0000001
+        # fori_loop carries the full array: each iteration is a whole-array
+        # read+write through HBM (XLA cannot fuse across the loop carry), so
+        # one call moves 2*k*436 MB — tunnel dispatch amortizes out
+        y = jax.lax.fori_loop(0, k, lambda i, y: y * 1.0000001, x)
         return y, y[0, 0, 0]
     dt = run(jax.jit(g), a, reps=20)
-    return 2 * a.nbytes / dt
+    return 2 * k * a.nbytes / dt
 
 
 def main():
