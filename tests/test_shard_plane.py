@@ -254,10 +254,16 @@ def test_sharded_plane_driver_init_matches_single_device(mesh):
     leaves_g = jax.tree_util.tree_flatten_with_path(got)[0]
     leaves_r = jax.tree_util.tree_leaves(ref)
     mask = np.asarray(ref.ctx.mask)
+    # fluid-mask row occupancy for the edge-bit check (plane rows == global
+    # grid rows here: ny_multiple=N_SHARDS and the row block divides ny)
+    row_any = np.any(mask, axis=(0, 2))
     for (path, g), r in zip(leaves_g, leaves_r):
         name = jax.tree_util.keystr(path)
         g = np.asarray(g)
         r = np.asarray(r)
+        if name.endswith(".geom.edge_below") or name.endswith(".geom.edge_above"):
+            _assert_edge_bits(name, g, row_any)
+            continue
         assert g.shape == r.shape, name
         if name.endswith(".ctx.pos"):
             # dead-slot position filler is a don't-care that legitimately
@@ -265,14 +271,31 @@ def test_sharded_plane_driver_init_matches_single_device(mesh):
             # masks it (the live outputs below are asserted bitwise)
             g = np.where(mask[None], g, 0.0)
             r = np.where(mask[None], r, 0.0)
-        elif name.endswith("geom.q_geom") or name.endswith("geom.s_geom"):
-            # blocked [x, y, mask] planes: mask plane exact, pos planes
-            # compared where the block's own mask plane is live
-            np.testing.assert_array_equal(g[2], r[2], err_msg=name)
-            live = r[2] > 0.0
-            g = np.where(live[None], g[:2], 0.0)
-            r = np.where(live[None], r[:2], 0.0)
+        # geom.q_geom / geom.s_geom need no special-casing since the
+        # SENTINEL_POS change: dead-lane positions are the same sentinel on
+        # both sides (including the sharded seam/edge fill), so the blocked
+        # geometry is bitwise comparable wholesale
         np.testing.assert_array_equal(g, r, err_msg=name)
+
+
+def _assert_edge_bits(name, got, row_any):
+    """PFGeom.edge_below/above parity: the sharded driver returns one bit per
+    shard ((n_shards,) vs the single device's constant-(1,) False), so instead
+    of shape-matching, check each shard's bit against the GLOBAL mask's seam
+    rows (edge_below[i] = neighbor shard i-1's last row occupied; mesh edges
+    False)."""
+    n_sh = got.shape[0]
+    ny_l = row_any.shape[0] // n_sh
+    if name.endswith("edge_below"):
+        exp = np.array(
+            [bool(row_any[i * ny_l - 1]) if i else False for i in range(n_sh)]
+        )
+    else:
+        exp = np.array(
+            [bool(row_any[(i + 1) * ny_l]) if i < n_sh - 1 else False
+             for i in range(n_sh)]
+        )
+    np.testing.assert_array_equal(got, exp, err_msg=name)
 
 
 def test_sharded_wcsph_plane_driver_init_matches_single_device(mesh):
@@ -318,6 +341,7 @@ def test_sharded_wcsph_plane_driver_init_matches_single_device(mesh):
     s_bpl = single.boundary_planes(boundary)
 
     mask = np.asarray(s_carry.mask)
+    fluid_row_any = np.any(mask, axis=(0, 2))
     for (path, g), r in zip(jax.tree_util.tree_flatten_with_path(
                                 jax.device_get(carry))[0],
                             jax.tree_util.tree_leaves(
@@ -325,26 +349,29 @@ def test_sharded_wcsph_plane_driver_init_matches_single_device(mesh):
         name = jax.tree_util.keystr(path)
         g = np.asarray(g)
         r = np.asarray(r)
+        if name.endswith(".geom.edge_below") or name.endswith(".geom.edge_above"):
+            _assert_edge_bits(name, g, fluid_row_any)
+            continue
         assert g.shape == r.shape, name
         if name.endswith(".pos"):
             g = np.where(mask[None], g, 0.0)
             r = np.where(mask[None], r, 0.0)
         np.testing.assert_array_equal(g, r, err_msg=name)
 
-    # boundary planes: geometry windows live-masked, mask plane exact
+    # boundary planes: bitwise wholesale since SENTINEL_POS (dead geometry
+    # lanes hold the same sentinel on both sides); edge bits per shard
     b_got = jax.device_get(bpl)
     b_ref = jax.device_get(s_bpl)
+    bnd_row_any = np.any(np.asarray(b_ref.dense.mask), axis=(1, 2))
     for (path, g), r in zip(jax.tree_util.tree_flatten_with_path(b_got)[0],
                             jax.tree_util.tree_leaves(b_ref)):
         name = jax.tree_util.keystr(path)
         g = np.asarray(g)
         r = np.asarray(r)
+        if name.endswith(".geom.edge_below") or name.endswith(".geom.edge_above"):
+            _assert_edge_bits(name, g, bnd_row_any)
+            continue
         assert g.shape == r.shape, name
-        if name.endswith("geom.q_geom") or name.endswith("geom.s_geom"):
-            np.testing.assert_array_equal(g[2], r[2], err_msg=name)
-            live = r[2] > 0.0
-            g = np.where(live[None], g[:2], 0.0)
-            r = np.where(live[None], r[:2], 0.0)
         np.testing.assert_array_equal(g, r, err_msg=name)
 
 

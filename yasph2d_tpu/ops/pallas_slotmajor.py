@@ -7,7 +7,9 @@ compile (PERF.md round 3). Here the SPATIAL dims live on (sublane, lane) and
 slots / vector components are separate leading-dim planes:
 
   query geometry   q_geom[band, {x,y,mask}, slot, BR, NX]
-  source geometry  s_geom[band, {x,y,mask}, slot, BR+2, NXS]   (one-cell halo)
+  source geometry  s_geom[band, {x,y}, slot, BR+2, NXS]   (one-cell halo;
+                   no mask plane — dead slots carry SENTINEL_POS and are
+                   excluded by the radius test)
   pass values      *_vals[band, plane, slot, ...]              (vectors -> 2 planes)
   outputs          out[band, plane, slot, BR, NX]
 
@@ -55,6 +57,15 @@ from ..units import REAL
 from .dense_grid import MIN_DISTANCE_SQ, DenseGridConfig, move_codes
 
 LANE = 128  # TPU lane width: the trailing spatial dim pads to a multiple
+
+# Dead-slot position sentinel in the pf geometry planes: far enough that
+# r_sq = dx^2 + dy^2 overflows f32 to +inf against ANY live coordinate (and
+# representable in bfloat16), so `r_sq <= radius_sq` excludes dead sources
+# with no source-mask load. Dead-vs-dead pairs cancel the sentinel (dx = 0,
+# or the +-1-cell rebase delta under bf16) and can pass the radius test —
+# the query mask plane still gates those, which keeps every dead-lane
+# output at the exact +0.0 the masked three-plane kernel produced.
+SENTINEL_POS = 3.0e38
 
 
 def _num_bands(ny: int, br: int) -> int:
@@ -364,8 +375,13 @@ class PFGeom(NamedTuple):
     Computed from the blocked geometry itself, so under sharding the
     exchanged halo rows are included automatically."""
 
-    q_geom: jax.Array  # (3, P, nbr, BR, NXP) f32: x, y, mask planes
-    s_geom: jax.Array  # (3, P, nbr, BR+2, NXS) f32: haloed source windows
+    q_geom: jax.Array  # (3, P, nbr, BR, NXP): x, y, mask planes (dead-slot
+    #   positions hold SENTINEL_POS)
+    s_geom: jax.Array  # (2, P, nbr, BR+2, NXS): haloed source windows — x, y
+    #   ONLY. Dead source slots carry SENTINEL_POS, so the kernels exclude
+    #   them by radius (r_sq overflows to inf) without loading a source mask
+    #   plane; that drops a third of the biggest per-pass operand's
+    #   HBM/VMEM traffic and one load+compare per candidate step.
     band_any: jax.Array  # (nbr,) bool
     first_any: jax.Array  # (nbr,) bool
     last_any: jax.Array  # (nbr,) bool
@@ -473,22 +489,28 @@ def _pf_halo(planes: jax.Array, grid: DenseGridConfig):
     return below, above
 
 
-def _pf_block_source(planes: jax.Array, br: int, halo=None) -> jax.Array:
+def _pf_block_source(planes: jax.Array, br: int, halo=None,
+                     pad_value: float = 0.0) -> jax.Array:
     """(L, P, NYP, NXP) -> (L, P, nbr, BR+2, NXS): overlapping row windows with
     a one-cell halo ring (left column halo = 1, right pads to NXS). `halo`
     (from `_pf_halo`) supplies the boundary rows under spatial sharding; they
-    are zero-padding on a single device."""
+    are `pad_value` on a single device (SENTINEL_POS for position blockings —
+    the padding ring must be excluded by radius like any dead slot; 0.0 for
+    value blockings, whose padded lanes the sentinel geometry already
+    excludes)."""
     l, p, nyp, nxp = planes.shape
     assert nyp % br == 0, f"plane rows {nyp} not divisible by row block {br}"
     nbr = nyp // br
     nxs = nxp + LANE
     if halo is None:
-        padded = jnp.pad(planes, ((0, 0), (0, 0), (1, 1), (1, nxs - nxp - 1)))
+        padded = jnp.pad(planes, ((0, 0), (0, 0), (1, 1), (1, nxs - nxp - 1)),
+                         constant_values=pad_value)
     else:
         below, above = halo
         padded = jnp.pad(
             jnp.concatenate([below, planes, above], axis=2),
             ((0, 0), (0, 0), (0, 0), (1, nxs - nxp - 1)),
+            constant_values=pad_value,
         )
     return jnp.stack(
         [padded[:, :, i * br : i * br + br + 2] for i in range(nbr)], axis=2
@@ -512,18 +534,18 @@ def _col_slot_bound(mask: jax.Array) -> jax.Array:
     return jnp.max(jnp.where(mask, sl, 0), axis=(0, 2))
 
 
-def _pf_meta(q_geom: jax.Array, s_geom: jax.Array):
-    """Occupancy metadata from the blocked mask planes: (q_cnt, s_cnt), both
-    (nbr, ncb) int32 slot-loop bounds per 128-lane column chunk. Chunk cc of
-    the query covers NXP lanes [cc*128, (cc+1)*128); its source window covers
-    s_geom columns [cc*128, cc*128 + 130) (the NXS layout is left-shifted by
-    the one-lane halo, so no extra offset)."""
-    qm = q_geom[2] > 0.0  # (P, nbr, BR, NXP)
+def _pf_meta(qm: jax.Array, sm: jax.Array):
+    """Occupancy metadata from the blocked masks (qm: (P, nbr, BR, NXP) bool,
+    sm: (P, nbr, BR+2, NXS) bool): (q_cnt, s_cnt), both (nbr, ncb) int32
+    slot-loop bounds per 128-lane column chunk. Chunk cc of the query covers
+    NXP lanes [cc*128, (cc+1)*128); its source window covers s_geom columns
+    [cc*128, cc*128 + 130) (the NXS layout is left-shifted by the one-lane
+    halo, so no extra offset)."""
     _, nbr, _, nxp = qm.shape
     ncb = nxp // LANE
     qb = _col_slot_bound(qm)  # (nbr, NXP)
     q_cnt = jnp.max(qb.reshape(nbr, ncb, LANE), axis=2)
-    s_cnt = _pf_source_meta(s_geom[2] > 0.0, ncb)
+    s_cnt = _pf_source_meta(sm, ncb)
     return q_cnt, s_cnt
 
 
@@ -594,14 +616,35 @@ def pf_build_geom(pos: jax.Array, mask: jax.Array, br: int,
     dtype = _pf_dtype(grid)
     if dtype != REAL:
         pos = _pf_rebase(pos, grid)
+    # dead slots carry SENTINEL_POS so the kernels exclude them by radius
+    # alone (see the constant's contract) — the source blocking then needs
+    # no mask plane at all
+    pos = jnp.where(mask[None], pos, jnp.asarray(SENTINEL_POS, REAL))
     planes = jnp.concatenate(
         [pos, mask.astype(REAL)[None]], axis=0
     ).astype(dtype)
     band_any, first_any, last_any = _pf_band_bits(mask, br)
     q_geom = _pf_block_query(planes, br)
     halo = _pf_halo(planes, grid)
-    s_geom = _pf_block_source(planes, br, halo=halo)
-    q_cnt, s_cnt = _pf_meta(q_geom, s_geom)
+    if halo is None:
+        pos_halo = mask_halo = None
+    else:  # one ppermute pair for all three planes, split per blocking
+        below, above = halo
+        sent = jnp.asarray(SENTINEL_POS, dtype)
+        # mesh-EDGE halo rows arrive as ppermute's zero fill (mask 0,
+        # position 0) — re-sentinel them like any dead slot; interior rows
+        # already carry the sender's sentinels and pass through unchanged
+        pos_halo = (
+            jnp.where(below[2:] > 0, below[:2], sent),
+            jnp.where(above[2:] > 0, above[:2], sent),
+        )
+        mask_halo = (below[2:], above[2:])
+    s_geom = _pf_block_source(
+        planes[:2], br, halo=pos_halo, pad_value=SENTINEL_POS
+    )
+    # blocked source mask: build-time metadata only — never a kernel operand
+    s_mask = _pf_block_source(planes[2:], br, halo=mask_halo)
+    q_cnt, s_cnt = _pf_meta(q_geom[2] > 0.0, s_mask[0] > 0.0)
     if halo is None:
         false = jnp.zeros((1,), dtype=bool)
         edge_below = edge_above = false
@@ -712,7 +755,6 @@ def _pf_kernel(term_fn, post_fn, n_sc, n_qv, n_sv, post_plan, n_acc, n_out,
                                 rows = pl.ds(dyv, br)
                                 cx = sg[0, sp, 0, rows, cols].astype(REAL)
                                 cy = sg[1, sp, 0, rows, cols].astype(REAL)
-                                cm = sg[2, sp, 0, rows, cols].astype(REAL)
                                 s_planes = tuple(
                                     sv[l, sp, 0, rows, cols].astype(REAL)
                                     for l in range(n_sv)
@@ -723,9 +765,10 @@ def _pf_kernel(term_fn, post_fn, n_sc, n_qv, n_sv, post_plan, n_acc, n_out,
                                     dx = dx + (dxv - 1) * rebase_cell
                                     dy = dy + (dyv - 1) * rebase_cell
                                 r_sq = dx * dx + dy * dy
+                                # no source-mask operand: dead sources carry
+                                # SENTINEL_POS -> r_sq = inf -> radius-culled
                                 valid = (
                                     qm
-                                    & (cm > 0.0)
                                     & (r_sq <= radius_sq)
                                     & (r_sq > MIN_DISTANCE_SQ)
                                 )
@@ -912,7 +955,12 @@ def pf_pair_reduce(
     )
 
     if unroll is None:
-        unroll = grid.pf_unroll_resolved
+        # interpret mode (CPU tests) executes unrolled bodies eagerly, one
+        # python iteration per (qp, view, sp) — ~8x slower than tracing the
+        # fori_loop once, with no device ILP to win. Outputs are bitwise
+        # identical either way (pinned by tests), so default it off there;
+        # an explicit unroll=True still exercises the unrolled path.
+        unroll = False if interpret else grid.pf_unroll_resolved
     kernel = functools.partial(
         _pf_kernel, term_fn, post_fn, len(scalars_2d), n_qv, n_sv, post_plan,
         n_acc, n_out, p, ps, br, nxp,
