@@ -76,7 +76,9 @@ def test_padded_rebuild_every_stale_steps():
     padded3 = dataclasses.replace(padded1, rebuild_every=3)
     boundary = world.boundary_dense(grid)
 
-    def run(solver, steps=40):
+    def run(solver, steps=30):
+        # 30 steps = 10 stale-rebuild cycles for rebuild_every=3; deviation
+        # bounds only tighten at shorter horizons (trimmed from 40, item 8)
         c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
         c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, steps)
         s = solver.export_state(c)
@@ -109,7 +111,10 @@ def test_padded_conserves_particles_long_run():
     c = jax.jit(padded.init_carry)(world.initial_state(), boundary)
     n0 = int(np.asarray(c.ctx.mask).sum())
     assert n0 == world.num_dynamic_particles
-    c, d = jax.jit(padded.simulate, static_argnums=2)(c, boundary, 80)
+    # 50 steps: enough for the dam to move through several full rebuckets
+    # (the property is mask-population conservation, not a physics horizon —
+    # trimmed from 80 for suite wall clock, round-4 verdict item 8)
+    c, d = jax.jit(padded.simulate, static_argnums=2)(c, boundary, 50)
     assert int(d.neighbor_drops) == 0
     assert int(np.asarray(c.ctx.mask).sum()) == n0
     s = padded.export_state(c)
@@ -176,7 +181,7 @@ def test_physical_viscosity_damps_kinetic_energy():
         )
         boundary = world.boundary_dense(grid)
         c = jax.jit(solver.init_carry)(world.initial_state(), boundary)
-        c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 80)
+        c, d = jax.jit(solver.simulate, static_argnums=2)(c, boundary, 50)
         assert int(d.neighbor_drops) == 0
         s = solver.export_state(c)
         alive = np.asarray(s.alive)
@@ -185,10 +190,11 @@ def test_physical_viscosity_damps_kinetic_energy():
         return float((vel ** 2).sum())
 
     ke_thin = run(0.001)
-    # contrast calibrated to the trimmed scene (density 900, 80 steps):
-    # mu=1.0 damps 11%, mu=2.0 14.6%, mu=4.0 18.5% (measured) — mu=0.01, the
-    # reference's high-viscosity config, damps only ~2% over this horizon,
-    # too weak to assert against f32 jitter; monotonicity is pinned instead
+    # contrast calibrated to the trimmed scene (density 900, 50 steps —
+    # shortened from 80 for suite wall clock, round-4 item 8): mu=4.0 damps
+    # 17.6% at 50 steps / 18.8% at 60 (measured) — mu=0.01, the reference's
+    # high-viscosity config, damps only ~2% over this horizon, too weak to
+    # assert against f32 jitter; monotonicity is pinned instead
     ke_thick = run(4.0)
     assert ke_thick < 0.85 * ke_thin, (ke_thick, ke_thin)
 

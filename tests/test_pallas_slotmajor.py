@@ -33,7 +33,7 @@ from yasph2d_tpu.timemanager import FixedTimeStep
 from test_wcsph import small_dam_break
 
 
-def setup(n=200, seed=0, ny=12, nx=8, occupancy=6):
+def setup(n=140, seed=0, ny=12, nx=8, occupancy=4):
     # sized for interpret-mode cost (the suite's wall clock, round-4 item 8):
     # conformance vs the XLA pair_reduce is input-shape-agnostic, and slot
     # overflow in pad_to_slots (possible at this density) is harmless here —

@@ -68,6 +68,15 @@ LANE = 128  # TPU lane width: the trailing spatial dim pads to a multiple
 SENTINEL_POS = 3.0e38
 
 
+def _maybe_jit_call(call, interpret: bool):
+    """Interpret-mode pallas executes the kernel body EAGERLY op-by-op when
+    the caller is not already inside jit — the dominant cost of the CPU test
+    suite. Wrapping the call in jax.jit compiles it once instead; inside an
+    outer jit the extra jit is transparent (inlined at trace time), and
+    on-device (interpret=False) nothing changes."""
+    return jax.jit(call) if interpret else call
+
+
 def _num_bands(ny: int, br: int) -> int:
     return -(-ny // br)
 
@@ -318,7 +327,7 @@ def sm_pair_reduce(
         _sm_kernel, term_fn, len(scalars_2d), n_qv, n_sv, n_out, p, ps, br, nxp,
         grid.radius_sq,
     )
-    out = pl.pallas_call(
+    out = _maybe_jit_call(pl.pallas_call(
         kernel,
         grid=(nbr,),
         in_specs=in_specs,
@@ -328,7 +337,7 @@ def sm_pair_reduce(
         # the 5-output ctx pass at the 1M grid (NXP 1664) needs 17.1 MB of
         # scoped VMEM — just past the default 16 MB limit; v5e has 128 MB
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(*operands)
+    ), interpret)(*operands)
 
     # (nbr, n_out, P, BR, NXP) -> n_out planes of (ny, nx, P)
     out = out.transpose(1, 0, 3, 4, 2).reshape(n_out, nbr * br, nxp, p)
@@ -968,7 +977,7 @@ def pf_pair_reduce(
         float(grid.cell_size) if dtype != REAL else None,
         unroll,
     )
-    out = pl.pallas_call(
+    out = _maybe_jit_call(pl.pallas_call(
         kernel,
         grid=(nbr,),
         in_specs=in_specs,
@@ -976,7 +985,7 @@ def pf_pair_reduce(
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(*operands)
+    ), interpret)(*operands)
     return out.reshape(n_out, p, nbr * br, nxp)
 
 
@@ -1186,7 +1195,7 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
     )
 
     kernel = functools.partial(_pf_rebucket_kernel, n_pay, p, br, nxp, chunks)
-    out = pl.pallas_call(
+    out = _maybe_jit_call(pl.pallas_call(
         kernel,
         grid=(nbr,),
         in_specs=[smem_spec(flags), smem_spec(cnt9), src_spec],
@@ -1194,7 +1203,7 @@ def pf_rebucket(pos, mask, values, grid: DenseGridConfig, br: int,
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(flags, cnt9, src)
+    ), interpret)(flags, cnt9, src)
 
     out = out.reshape(n_pay + 1, p, nbr * br, nxp)
     new_pos = out[0:2]
@@ -1296,7 +1305,7 @@ def sm_rebucket(positions_pad, mask, values_pad, grid: DenseGridConfig,
     )
 
     kernel = functools.partial(_sm_rebucket_kernel, n_pay, p, br, nxp)
-    out = pl.pallas_call(
+    out = _maybe_jit_call(pl.pallas_call(
         kernel,
         grid=(nbr,),
         in_specs=[flag_spec, src_spec],
@@ -1304,7 +1313,7 @@ def sm_rebucket(positions_pad, mask, values_pad, grid: DenseGridConfig,
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(flags, src)
+    ), interpret)(flags, src)
 
     # (nbr, n_pay+1, P, BR, NXP) -> planes of (ny, nx, P)
     out = out.transpose(1, 0, 3, 4, 2).reshape(n_pay + 1, nbr * br, nxp, p)
