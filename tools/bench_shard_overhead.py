@@ -52,8 +52,14 @@ def main():
         from yasph2d_tpu.models.dfsph_plane import DFSPHPlaneSolver
         from yasph2d_tpu.parallel.shard_plane import ShardedDFSPHPlane
 
+        # ny_multiple = n_shards * row_block keeps the sharded layout on the
+        # SAME 8-row bands as the plain solver (make_local_plane_grid must
+        # otherwise shrink the row block to divide the shard height — at the
+        # 100k grid ny=325 that means br=5: 25% more bands and 5/8 sublane
+        # utilization, which dominates the apparent "wrapper" overhead).
+        # The padding rows sit at the global domain top, mask-dead.
         grid = dataclasses.replace(
-            world.dense_grid(occupancy=7),
+            world.dense_grid(occupancy=7, ny_multiple=8),
             use_pallas_slotmajor=True, pallas_sm_row_block=8,
             pallas_pf_stat_chunk_lanes=128,
             pair_dtype=os.environ.get(

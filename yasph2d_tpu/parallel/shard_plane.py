@@ -48,7 +48,15 @@ P = jax.sharding.PartitionSpec
 def make_local_plane_grid(full_grid: DenseGridConfig, n_shards: int,
                           axis: str = SPACE_AXIS) -> DenseGridConfig:
     """make_local_grid + slot-major row blocks that divide the shard height
-    (NYP == ny per shard, so `_pf_halo`'s exchanged rows are grid-adjacent)."""
+    (NYP == ny per shard, so `_pf_halo`'s exchanged rows are grid-adjacent).
+
+    Build the FULL grid with `ny_multiple = n_shards * pallas_sm_row_block`
+    (world.dense_grid) to keep the configured row block: otherwise this
+    shrinks it to the largest divisor of the shard height, and a narrow
+    block (e.g. 5 of 8 sublane rows at ny=325, n=1) costs real kernel
+    throughput — measured as most of the apparent n=1 wrapper overhead
+    (PERF.md round 5). The padding rows sit at the global domain top,
+    mask-dead, physics-inert."""
     grid_l = make_local_grid(full_grid, n_shards, axis)
     ny_l = grid_l.ny
     br = min(grid_l.pallas_sm_row_block, ny_l)
