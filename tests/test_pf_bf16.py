@@ -122,8 +122,10 @@ def test_bf16_plane_dfsph_tracks_f32():
     )
 
     s32, s16 = _plane_solver(world, grid32), _plane_solver(world, grid16)
-    c32 = s32.init_carry(world.initial_state(), b32)
-    c16 = s16.init_carry(world.initial_state(), b16)
+    # jit the inits: eager interpret-mode ctx passes at occupancy 12 cost
+    # minutes on CPU (suite wall clock, round-4 item 8)
+    c32 = jax.jit(s32.init_carry)(world.initial_state(), b32)
+    c16 = jax.jit(s16.init_carry)(world.initial_state(), b16)
 
     rho16 = np.asarray(from_planes(c16.ctx.densities, grid16))
     rho32 = np.asarray(from_planes(c32.ctx.densities, grid32))

@@ -65,7 +65,7 @@ def test_plane_matches_padded_slotmajor(step_config):
     bpl = plane.boundary_planes(boundary)
 
     pc = jax.jit(padded.init_carry)(world.initial_state(), boundary)
-    fc = plane.init_carry(world.initial_state(), bpl)
+    fc = jax.jit(plane.init_carry)(world.initial_state(), bpl)
 
     pc, pdiag = jax.jit(padded.simulate, static_argnums=2)(pc, boundary, 10)
     fc, fdiag = jax.jit(plane.simulate, static_argnums=2)(fc, bpl, 10)
@@ -91,7 +91,7 @@ def test_plane_conserves_particles():
                          cfl_factor=1.5),
     )
     bpl = plane.boundary_planes(world.boundary_dense(grid))
-    c = plane.init_carry(world.initial_state(), bpl)
+    c = jax.jit(plane.init_carry)(world.initial_state(), bpl)
     n0 = int(np.asarray(c.ctx.mask).sum())
     assert n0 == world.num_dynamic_particles
     c, d = jax.jit(plane.simulate, static_argnums=2)(c, bpl, 25)

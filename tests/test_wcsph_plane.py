@@ -71,7 +71,7 @@ def test_wcsph_plane_matches_padded_slotmajor(step_config):
     bpl = plane.boundary_planes(boundary)
 
     pc = jax.jit(padded.init_carry)(world.initial_state())
-    fc = plane.init_carry(world.initial_state())
+    fc = jax.jit(plane.init_carry)(world.initial_state())
 
     pc, pdiag = jax.jit(padded.simulate, static_argnums=2)(pc, boundary, 20)
     fc, fdiag = jax.jit(plane.simulate, static_argnums=2)(fc, bpl, 20)
@@ -96,7 +96,7 @@ def test_wcsph_plane_conserves_particles():
                          cfl_factor=0.2),
     )
     bpl = plane.boundary_planes(world.boundary_dense(grid))
-    c = plane.init_carry(world.initial_state())
+    c = jax.jit(plane.init_carry)(world.initial_state())
     n0 = int(np.asarray(c.mask).sum())
     assert n0 == world.num_dynamic_particles
     c, d = jax.jit(plane.simulate, static_argnums=2)(c, bpl, 50)
